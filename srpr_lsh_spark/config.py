@@ -1,0 +1,65 @@
+"""Pipeline configuration.
+
+Every constant the reference hard-codes (seeds, table counts, hash bits,
+top-k — see SURVEY.md §6 / BASELINE.md) becomes an explicit config field here.
+The config hash keys checkpoints, mirroring the reference's parameter-keyed
+binary cache filename (``src/DataManager.h:50``): same config ⇒ same results ⇒
+resumable; changed config ⇒ stages recompute.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling / MinHash (transcript near-dup path) ---
+    k_shingle: int = 5          # char k-grams over normalized transcript
+    n_perm: int = 128           # MinHash permutations; n_perm = bands * rows
+    bands: int = 32             # b
+    rows: int = 4               # r
+    jaccard_threshold: float = 0.8   # exact-verify acceptance
+    # --- SimHash / SRP (audio fingerprint path) ---
+    # Mirrors the reference's (L tables, b bits) scheme: main.cpp:64-65 uses
+    # L=12, b=6; we default to the same table count with more bits because
+    # fingerprints of true near-dups are nearly parallel (cos ≈ 1).
+    sim_tables: int = 12        # L
+    sim_bits: int = 16          # b per table (packed into one int64 key)
+    fingerprint_dim: int = 32   # D — matches the reference embedding dim (main.cpp:62)
+    cosine_threshold: float = 0.997  # exact-verify acceptance on fingerprints
+    snr_db_threshold: float = 30.0   # decoded-PCM pair SNR acceptance (input_hint)
+    # --- substring (suffix-array) path ---
+    bottom_k: int = 16          # bottom-k shingle sketch size for containment candidates
+    containment_min_matches: int = 3  # sketch-hash matches needed to form a candidate
+    min_substr_shingles: int = 8     # ignore ultra-short transcripts for containment
+    # --- skew handling (SURVEY.md §4.3.2) ---
+    bucket_pair_cap: int = 64   # buckets larger than this use star-pairing, not all-pairs
+    hot_shingle_cap: int = 128  # drop bottom-k sketch hashes shared by more rows than this
+    # --- determinism ---
+    seed: int = 42              # reference seed discipline: lsh.h:80, MatrixFactorization.h:44
+    # --- layout ---
+    shuffle_partitions: int = 32
+    cc_max_iters: int = 25
+    extra: dict = field(default_factory=dict, compare=False)
+
+    def __post_init__(self) -> None:
+        if self.n_perm != self.bands * self.rows:
+            raise ValueError(
+                f"n_perm ({self.n_perm}) must equal bands*rows "
+                f"({self.bands}*{self.rows}={self.bands * self.rows})"
+            )
+        if self.sim_bits > 63:
+            raise ValueError("sim_bits must fit a signed int64 bucket key")
+
+    def config_hash(self) -> str:
+        """Deterministic 16-hex-digit hash of every semantics-bearing field."""
+        d = asdict(self)
+        d.pop("extra", None)
+        blob = json.dumps(d, sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,88 @@
+"""Text kernels: transcript normalization, exact Jaccard, suffix array.
+
+The suffix array (prefix-doubling, O(n log² n), numpy argsort-based) powers the
+exact-substring pass: candidate groups concatenate their transcripts with
+sentinel separators, build one suffix array, and binary-search each member's
+full text to find true containments — "LSH proposes, exact disposes", the same
+division of labor as the reference's exact cosine re-rank (``src/lsh.h:132-145``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def normalize_transcript(texts) -> "list[str]":
+    """Lowercase + collapse runs of whitespace. Applied before shingling AND
+    before exact verification so both see the same string space."""
+    return [" ".join(t.lower().split()) if t is not None else "" for t in texts]
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique hash arrays. Empty∪empty → 0.0
+    (shingle-less rows carry no Jaccard evidence; only the exact-content path
+    may link them)."""
+    if a.size == 0 and b.size == 0:
+        return 0.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
+
+
+def suffix_array(s: bytes) -> np.ndarray:
+    """Suffix array via prefix doubling with numpy lexsort — O(n log² n).
+
+    Returns int64 positions of suffixes in ascending lexicographic order.
+    """
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.frombuffer(s, dtype=np.uint8).astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    tmp = np.empty(n, dtype=np.int64)
+    k = 1
+    while k < n:
+        # sort key: (rank[i], rank[i+k] or -1)
+        second = np.full(n, -1, dtype=np.int64)
+        second[: n - k] = rank[k:]
+        order = np.lexsort((second, rank))
+        # recompute ranks: new rank increments where either key changes
+        r1 = rank[order]
+        r2 = second[order]
+        change = np.ones(n, dtype=np.int64)
+        change[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+        new_rank = np.cumsum(change) - 1
+        tmp[order] = new_rank
+        rank, sa = tmp.copy(), order
+        if rank[sa[-1]] == n - 1:  # all distinct — fully sorted
+            break
+        k <<= 1
+    return sa.astype(np.int64)
+
+
+def sa_contains(text: bytes, sa: np.ndarray, pattern: bytes) -> "list[int]":
+    """All start positions of ``pattern`` in ``text`` using its suffix array.
+
+    Standard O(m log n) double binary search over the suffix array.
+    """
+    n, m = len(text), len(pattern)
+    if m == 0 or m > n:
+        return []
+    lo, hi = 0, n
+    # lower bound: first suffix >= pattern
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if text[sa[mid] : sa[mid] + m] < pattern:
+            lo = mid + 1
+        else:
+            hi = mid
+    start = lo
+    hi = n
+    # upper bound: first suffix whose m-char prefix > pattern
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if text[sa[mid] : sa[mid] + m] > pattern:
+            hi = mid
+        else:
+            lo = mid + 1
+    return sorted(int(sa[i]) for i in range(start, lo))

@@ -1,0 +1,212 @@
+"""Kernel unit tests (pure numpy, no Spark) — SURVEY.md §5.2 tier 1."""
+
+import numpy as np
+import pytest
+
+from srpr_lsh_spark.kernels import (
+    band_hashes,
+    bottom_k_sketch,
+    decode_pcm16_wav,
+    encode_pcm16_wav,
+    fingerprint,
+    jaccard,
+    minhash_signatures,
+    normalize_transcript,
+    pair_snr_db,
+    sa_contains,
+    shingle_hashes,
+    srp_keys,
+    srp_planes,
+    suffix_array,
+)
+
+
+def _sets_from_csr(flat, off, i):
+    return set(flat[off[i] : off[i + 1]].tolist())
+
+
+class TestShingles:
+    def test_basic_counts(self):
+        flat, off = shingle_hashes(["abcdef"], k=5)
+        assert off.tolist() == [0, 2]  # 'abcde', 'bcdef'
+
+    def test_short_text_empty(self):
+        flat, off = shingle_hashes(["abc", ""], k=5)
+        assert off.tolist() == [0, 0, 0]
+
+    def test_deterministic_and_set_semantics(self):
+        f1, o1 = shingle_hashes(["the cat sat on the mat"], k=5)
+        f2, o2 = shingle_hashes(["the cat sat on the mat"], k=5)
+        assert np.array_equal(f1, f2)
+        # repeated shingles dedupe: 'aaaaaaa' has one distinct 5-gram
+        f3, o3 = shingle_hashes(["aaaaaaa"], k=5)
+        assert o3[1] - o3[0] == 1
+
+    def test_batch_matches_single(self):
+        texts = ["hello world foo", "another transcript here"]
+        fb, ob = shingle_hashes(texts, k=5)
+        for i, t in enumerate(texts):
+            fs, os_ = shingle_hashes([t], k=5)
+            assert _sets_from_csr(fb, ob, i) == set(fs.tolist())
+
+
+class TestMinHash:
+    def test_collision_prob_approximates_jaccard(self):
+        """P(minhash_j(A) == minhash_j(B)) ≈ J(A,B) — Broder 1997."""
+        rng = np.random.default_rng(7)
+        universe = np.unique(rng.integers(0, 2**62, size=500, dtype=np.uint64))[:400]
+        a = universe[:300]
+        b = universe[100:400]  # |A∩B|=200, |A∪B|=400 → J=0.5
+        flat = np.concatenate([np.unique(a), np.unique(b)])
+        off = np.array([0, 300, 600])
+        sig = minhash_signatures(flat, off, n_perm=512, seed=42)
+        agree = (sig[0] == sig[1]).mean()
+        assert abs(agree - 0.5) < 0.07
+
+    def test_identical_sets_identical_signatures(self):
+        flat, off = shingle_hashes(["same text here ok", "same text here ok"], k=4)
+        sig = minhash_signatures(flat, off, n_perm=64)
+        assert np.array_equal(sig[0], sig[1])
+
+    def test_empty_set_sentinel(self):
+        flat, off = shingle_hashes(["", "abcdefgh"], k=5)
+        sig = minhash_signatures(flat, off, n_perm=16)
+        assert (sig[0] == np.iinfo(np.uint64).max).all()
+        assert not (sig[1] == np.iinfo(np.uint64).max).all()
+
+
+class TestBandHashes:
+    def test_shape_and_determinism(self):
+        rng = np.random.default_rng(0)
+        sig = rng.integers(0, 2**63, size=(10, 128)).astype(np.uint64)
+        bh = band_hashes(sig, bands=32, rows=4)
+        assert bh.shape == (10, 32)
+        assert np.array_equal(bh, band_hashes(sig, bands=32, rows=4))
+
+    def test_equal_band_iff_equal_rows(self):
+        sig = np.zeros((2, 8), dtype=np.uint64)
+        sig[1] = np.arange(8)
+        sig[1, :4] = 0  # band 0 equal, band 1 differs
+        bh = band_hashes(sig, bands=2, rows=4)
+        assert bh[0, 0] == bh[1, 0]
+        assert bh[0, 1] != bh[1, 1]
+
+    def test_empty_sentinel_maps_to_minus_one(self):
+        sig = np.full((1, 8), np.iinfo(np.uint64).max, dtype=np.uint64)
+        assert (band_hashes(sig, bands=2, rows=4) == -1).all()
+
+
+class TestSRP:
+    def test_bit_agreement_matches_angle(self):
+        """E[bit agreement] = 1 − θ/π — Charikar 2002 / reference Eq. 9
+        (src/SRPRModel.h:149-156)."""
+        rng = np.random.default_rng(3)
+        d, nbits = 32, 4096
+        planes = srp_planes(d, tables=1, bits=1, seed=42)
+        # build many planes manually for the statistic
+        planes = np.random.default_rng(42).standard_normal((nbits, d)).astype(np.float32)
+        u = rng.standard_normal(d)
+        for theta in [0.2, 0.7, 1.3]:
+            v_orth = rng.standard_normal(d)
+            v_orth -= v_orth @ u * u / (u @ u)
+            v = np.cos(theta) * u / np.linalg.norm(u) + np.sin(theta) * v_orth / np.linalg.norm(v_orth)
+            signs = (np.stack([u / np.linalg.norm(u), v]) @ planes.T) >= 0
+            agree = (signs[0] == signs[1]).mean()
+            assert abs(agree - (1 - theta / np.pi)) < 0.03
+
+    def test_keys_shape_packing(self):
+        planes = srp_planes(8, tables=3, bits=16, seed=42)
+        x = np.random.default_rng(1).standard_normal((5, 8)).astype(np.float32)
+        keys = srp_keys(x, planes, tables=3, bits=16)
+        assert keys.shape == (5, 3)
+        assert (keys >= 0).all() and (keys < 2**16).all()
+
+    def test_zero_vector_all_ones_key(self):
+        """sign(0) → bit 1, the reference's tie rule (src/plane.h:16-22)."""
+        planes = srp_planes(4, tables=2, bits=8, seed=42)
+        keys = srp_keys(np.zeros((1, 4), dtype=np.float32), planes, tables=2, bits=8)
+        assert (keys == 2**8 - 1).all()
+
+    def test_identical_vectors_identical_keys(self):
+        planes = srp_planes(32, tables=12, bits=16, seed=42)
+        x = np.random.default_rng(2).standard_normal((1, 32)).astype(np.float32)
+        k1 = srp_keys(x, planes, 12, 16)
+        k2 = srp_keys(x.copy(), planes, 12, 16)
+        assert np.array_equal(k1, k2)
+
+
+class TestAudio:
+    def test_wav_roundtrip(self):
+        t = np.linspace(0, 1, 8000, endpoint=False)
+        sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+        blob = encode_pcm16_wav(sig, 8000)
+        out = decode_pcm16_wav(blob)
+        assert out.size == 8000
+        assert np.allclose(out, sig, atol=1.0 / 32767)
+
+    def test_unknown_codec_raises(self):
+        with pytest.raises(NotImplementedError):
+            decode_pcm16_wav(b"\x00" * 100, codec="opus")
+
+    def test_snr_of_planted_noise(self):
+        rng = np.random.default_rng(5)
+        t = np.linspace(0, 1, 16000, endpoint=False)
+        base = 0.4 * np.sin(2 * np.pi * 220 * t)
+        noise = rng.standard_normal(16000)
+        noise *= np.sqrt((base @ base) / (noise @ noise)) * 10 ** (-40 / 20)
+        snr = pair_snr_db(base, base + noise)
+        assert 39 < snr < 41
+
+    def test_snr_identical_is_inf(self):
+        x = np.ones(100) * 0.3
+        assert pair_snr_db(x, x) == float("inf")
+
+    def test_fingerprint_near_dup_high_cosine(self):
+        rng = np.random.default_rng(9)
+        t = np.linspace(0, 1, 16000, endpoint=False)
+        base = 0.3 * np.sin(2 * np.pi * 300 * t) + 0.2 * np.sin(2 * np.pi * 1200 * t)
+        noise = rng.standard_normal(16000) * 1e-3
+        f1, f2 = fingerprint(base), fingerprint(base + noise)
+        assert float(f1 @ f2) > 0.999
+        # a different signal should be clearly separated
+        other = 0.3 * np.sin(2 * np.pi * 2500 * t)
+        assert float(f1 @ fingerprint(other)) < 0.9
+
+    def test_fingerprint_silence_is_zero(self):
+        assert (fingerprint(np.zeros(4000)) == 0).all()
+
+
+class TestTextKernels:
+    def test_jaccard_exact(self):
+        a = np.array([1, 2, 3, 4], dtype=np.uint64)
+        b = np.array([3, 4, 5, 6], dtype=np.uint64)
+        assert jaccard(a, b) == pytest.approx(2 / 6)
+        assert jaccard(a, a) == 1.0
+        assert jaccard(np.empty(0, np.uint64), np.empty(0, np.uint64)) == 0.0
+
+    def test_normalize(self):
+        assert normalize_transcript(["  Hello\t WORLD \n", None]) == ["hello world", ""]
+
+    def test_suffix_array_matches_naive(self):
+        rng = np.random.default_rng(11)
+        for _ in range(10):
+            n = int(rng.integers(1, 200))
+            s = bytes(rng.integers(97, 100, size=n).tolist())  # small alphabet → repeats
+            sa = suffix_array(s)
+            naive = sorted(range(len(s)), key=lambda i: s[i:])
+            assert sa.tolist() == naive
+
+    def test_sa_contains(self):
+        s = b"the cat sat on the mat, the cat ran"
+        sa = suffix_array(s)
+        assert sa_contains(s, sa, b"the cat") == [0, 24]
+        assert sa_contains(s, sa, b"dog") == []
+        assert sa_contains(s, sa, b"") == []
+
+    def test_bottom_k(self):
+        flat, off = shingle_hashes(["a longer transcript with many shingles in it"], k=4)
+        bk, bo = bottom_k_sketch(flat, off, k=8)
+        assert bo[1] - bo[0] == 8
+        assert np.array_equal(
+            np.sort(bk.view(np.uint64)), np.sort(flat)[:8]
+        )
