@@ -1,0 +1,575 @@
+"""Driver-parity registry: Spark queries + matching DuckDB oracle SQL.
+
+One entry per operator family from SURVEY.md §2, exercised over the driver's
+read-only corpus (TESTDATA.md). Every aggregate/computed column is aliased
+IDENTICALLY in the Spark plan and the SQL string; float outputs are rounded on
+both sides so the driver's order-insensitive value-hash matches.
+
+Entries without an oracle (the LSH/UDF stages — not SQL-expressible) are
+registered in ``ROWS_ONLY_QUERIES``; their correctness is pinned by the pytest
+oracles instead (tests/test_pipeline.py, tests/test_kernels.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# §2.2 projections / filters / predicates
+# --------------------------------------------------------------------------
+
+
+def q_predicate_filter(spark, sf_dir):
+    """Conjunctive predicate + projection; pushdown-eligible (SURVEY §2.2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") >= 30) & (F.col("l_returnflag") == "R"))
+        .filter(F.abs(F.col("l_discount") - F.col("l_tax")) >= 0.02)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+SQL_predicate_filter = """
+SELECT l_linestatus,
+       count(*) AS cnt,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_quantity >= 30 AND l_returnflag = 'R'
+  AND abs(l_discount - l_tax) >= 0.02
+GROUP BY l_linestatus
+"""
+
+
+def q_min_activity_filter(spark, sf_dir):
+    """Min-activity semi-join filter — the reference's <2-ratings user drop
+    (src/Triplet.h:147-149) over customers/orders."""
+    o = _t(spark, sf_dir, "orders")
+    active = o.groupBy("o_custkey").agg(F.count("*").alias("n")).filter(F.col("n") >= 5)
+    return (
+        o.join(active.select("o_custkey"), "o_custkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_min_activity_filter = """
+SELECT o_orderpriority, count(*) AS cnt
+FROM orders
+WHERE o_custkey IN (
+    SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 5)
+GROUP BY o_orderpriority
+"""
+
+
+def q_preference_orientation(spark, sf_dir):
+    """Pair orientation by value comparison — the reference's (i,j)→(pos,neg)
+    projection with the |Δ| ≥ threshold predicate (src/Triplet.h:159-165)."""
+    li = _t(spark, sf_dir, "lineitem").alias("x")
+    lj = _t(spark, sf_dir, "lineitem").alias("y")
+    pairs = li.join(
+        lj,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_linenumber") < F.col("y.l_linenumber")),
+    ).filter(F.abs(F.col("x.l_quantity") - F.col("y.l_quantity")) >= 5)
+    oriented = pairs.select(
+        F.col("x.l_orderkey").alias("okey"),
+        F.when(F.col("x.l_quantity") > F.col("y.l_quantity"), F.col("x.l_linenumber"))
+        .otherwise(F.col("y.l_linenumber"))
+        .alias("pos_line"),
+    )
+    return oriented.groupBy("pos_line").agg(F.count("*").alias("cnt"))
+
+
+SQL_preference_orientation = """
+SELECT CASE WHEN x.l_quantity > y.l_quantity THEN x.l_linenumber
+            ELSE y.l_linenumber END AS pos_line,
+       count(*) AS cnt
+FROM lineitem x JOIN lineitem y
+  ON x.l_orderkey = y.l_orderkey AND x.l_linenumber < y.l_linenumber
+WHERE abs(x.l_quantity - y.l_quantity) >= 5
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+
+
+def q_join_dims(spark, sf_dir):
+    """3-way equi-join with broadcast-able dimensions (id-remap pattern,
+    src/DataManager.h:222-233)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )
+
+
+SQL_join_dims = """
+SELECT n_name, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_total
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_left_anti(spark, sf_dir):
+    """Anti-join — the resume-skip primitive (SURVEY §2.6)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_left_anti = """
+SELECT c_mktsegment, count(*) AS cnt
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+def q_bucket_probe_join(spark, sf_dir):
+    """The core LSH-shaped join: group rows into buckets, join the bucket key
+    back (lsh.h:34-44 analogue over parts by (brand, size))."""
+    p = _t(spark, sf_dir, "part")
+    buckets = p.groupBy("p_brand", "p_size").agg(F.count("*").alias("bucket_n"))
+    return (
+        p.join(buckets, ["p_brand", "p_size"])
+        .filter(F.col("bucket_n") >= 2)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"), F.sum("bucket_n").alias("sum_bucket_n"))
+    )
+
+
+SQL_bucket_probe_join = """
+WITH buckets AS (
+  SELECT p_brand, p_size, count(*) AS bucket_n FROM part GROUP BY p_brand, p_size)
+SELECT p.p_brand, count(*) AS cnt, sum(b.bucket_n) AS sum_bucket_n
+FROM part p JOIN buckets b ON p.p_brand = b.p_brand AND p.p_size = b.p_size
+WHERE b.bucket_n >= 2
+GROUP BY p.p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregations
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped partial+final aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_pricing_summary = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_conditional_avg(spark, sf_dir):
+    """Conditional aggregation — the reference's nRecall 'only users with
+    max-rated items' average (src/MetricsCalculator.h:245-258)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg(F.when(F.col("value") > 50, F.col("value"))), 4).alias(
+            "avg_big_value"
+        ),
+        F.count_if(F.col("value") > 50).alias("n_big"),
+    )
+
+
+SQL_conditional_avg = """
+SELECT event_type, count(*) AS cnt,
+       round(avg(CASE WHEN value > 50 THEN value END), 4) AS avg_big_value,
+       count(*) FILTER (WHERE value > 50) AS n_big
+FROM events GROUP BY event_type
+"""
+
+
+def q_hourly_rollup(spark, sf_dir):
+    """Time-bucketed aggregation over the events table (batch, no streaming —
+    SURVEY §2.8)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+SQL_hourly_rollup = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS cnt, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 windows / top-k
+# --------------------------------------------------------------------------
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Brute-force top-k with total-order tie-break (score desc, id desc) —
+    the reference's ranked retrieval discipline (main.cpp:36)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+SQL_topk_per_group = """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rnk
+  FROM orders)
+WHERE rnk <= 3
+"""
+
+
+def q_dcg(spark, sf_dir):
+    """DCG@k: Σ rel / log2(rank+1) over a ranked window —
+    src/MetricsCalculator.h:81-88 as one window + agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").desc()
+    )
+    ranked = li.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    return ranked.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(F.col("l_quantity") / F.log2(F.col("rnk") + 1)), 4
+        ).alias("dcg")
+    )
+
+
+SQL_dcg = """
+SELECT l_orderkey, round(sum(l_quantity / log2(rnk + 1)), 4) AS dcg FROM (
+  SELECT l_orderkey, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber DESC) AS rnk
+  FROM lineitem)
+WHERE rnk <= 5 GROUP BY l_orderkey
+"""
+
+
+def q_cumulative_hits(spark, sf_dir):
+    """Running sum over a ranked window — the cumulative-precision loop of
+    src/MetricsCalculator.h:153-172."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("running_value", F.round(F.sum("value").over(w), 2))
+        .select("user_id", "event_id", "running_value")
+    )
+
+
+SQL_cumulative_hits = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.6 set operations
+# --------------------------------------------------------------------------
+
+
+def q_set_ops(spark, sf_dir):
+    """Union + distinct — the candidate-set union across L tables
+    (src/lsh.h:36-43)."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return (
+        o.unionByName(c)
+        .distinct()
+        .groupBy((F.col("k") % 10).alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_set_ops = """
+SELECT k % 10 AS bucket, count(*) AS cnt FROM (
+  SELECT o_custkey AS k FROM orders UNION SELECT c_custkey AS k FROM customer)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup / text-analysis operators over documents (training-data ops)
+# --------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup by content hash (groupBy md5) — the content-key
+    short-circuit, SQL-expressible flavor."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_md5"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("rep_doc"))
+        .groupBy("n_copies")
+        .agg(F.count("*").alias("n_groups"), F.min("rep_doc").alias("min_rep"))
+    )
+
+
+SQL_exact_dedup = """
+WITH g AS (
+  SELECT md5(text) AS content_md5, count(*) AS n_copies, min(doc_id) AS rep_doc
+  FROM documents GROUP BY 1)
+SELECT n_copies, count(*) AS n_groups, min(rep_doc) AS min_rep
+FROM g GROUP BY n_copies
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Whitespace token counting per document (training-data text op)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.col("n_chars").alias("n_chars"),
+    )
+
+
+SQL_token_count = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: mean word length + uppercase-free ratio per source."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    return (
+        d.select(
+            "source",
+            (F.length("text") / n_tok).alias("chars_per_token"),
+        )
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("chars_per_token"), 4).alias("avg_cpt"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+SQL_quality_score = """
+SELECT source,
+       round(avg(length(text) * 1.0 / len(string_split(text, ' '))), 4) AS avg_cpt,
+       count(*) AS cnt
+FROM documents GROUP BY source
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Word-set Jaccard of adjacent same-source doc pairs — the exact-verify
+    kernel in its SQL-expressible form."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("words")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") + 1 == F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union = F.size(F.array_union(F.col("a.words"), F.col("b.words")))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter / union, 4).alias("jaccard"),
+    )
+
+
+SQL_ngram_jaccard = """
+WITH w AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS words
+           FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.words, b.words)) * 1.0 /
+             (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))), 4)
+         AS jaccard
+FROM w a JOIN w b ON a.source = b.source AND a.doc_id + 1 = b.doc_id
+"""
+
+
+def q_language_id(spark, sf_dir):
+    """Heuristic language-ID-style scoring: stop-token hit count per doc,
+    compared to the labeled lang column."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ("the", "a", "of")])))
+    return (
+        d.select("lang", hits.alias("stop_hits"))
+        .groupBy("lang", "stop_hits")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_language_id = """
+SELECT lang,
+       len(list_intersect(list_distinct(string_split(text, ' ')),
+                          ['the', 'a', 'of'])) AS stop_hits,
+       count(*) AS cnt
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Deterministic content fingerprint prefix histogram (rolling-hash
+    stand-in that both engines share: md5 hex prefix)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.substring(F.md5("text"), 1, 1).alias("fp_nibble"))
+        .groupBy("fp_nibble")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_doc_fingerprint = """
+SELECT substr(md5(text), 1, 1) AS fp_nibble, count(*) AS cnt
+FROM documents GROUP BY 1
+"""
+
+
+def q_embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k over embeddings (the reference's oracle path,
+    main.cpp:29-44): queries = vec_id < 5, k = 10, tie-break (sim desc, id)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            F.transform("qv", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.transform("cv", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    sims = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(dot / (nq * nc), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return sims.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+
+
+SQL_embedding_cosine_topk = """
+WITH sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round(list_dot_product(q.embedding, c.embedding) /
+               (sqrt(list_dot_product(q.embedding, q.embedding)) *
+                sqrt(list_dot_product(c.embedding, c.embedding))), 4) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND q.vec_id != c.vec_id)
+SELECT query_id, cand_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, cand_id ASC) AS rnk
+FROM sims QUALIFY rnk <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+ORACLE_QUERIES = {
+    "predicate_filter": (q_predicate_filter, SQL_predicate_filter),
+    "min_activity_filter": (q_min_activity_filter, SQL_min_activity_filter),
+    "preference_orientation": (q_preference_orientation, SQL_preference_orientation),
+    "join_dims": (q_join_dims, SQL_join_dims),
+    "left_anti": (q_left_anti, SQL_left_anti),
+    "bucket_probe_join": (q_bucket_probe_join, SQL_bucket_probe_join),
+    "pricing_summary": (q_pricing_summary, SQL_pricing_summary),
+    "conditional_avg": (q_conditional_avg, SQL_conditional_avg),
+    "hourly_rollup": (q_hourly_rollup, SQL_hourly_rollup),
+    "topk_per_group": (q_topk_per_group, SQL_topk_per_group),
+    "dcg": (q_dcg, SQL_dcg),
+    "cumulative_hits": (q_cumulative_hits, SQL_cumulative_hits),
+    "set_ops": (q_set_ops, SQL_set_ops),
+    "exact_dedup": (q_exact_dedup, SQL_exact_dedup),
+    "token_count": (q_token_count, SQL_token_count),
+    "quality_score": (q_quality_score, SQL_quality_score),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_ngram_jaccard),
+    "language_id": (q_language_id, SQL_language_id),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_doc_fingerprint),
+    "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_embedding_cosine_topk),
+}

@@ -1,0 +1,100 @@
+"""Stage 4: connected components → cluster ids.
+
+Alternating large-star / small-star (Kiveris et al. 2014, "Connected
+Components in MapReduce and Beyond") in pure DataFrame algebra — O(log n)
+rounds, each a ``groupBy().min()`` (map-side combinable, skew-safe) plus an
+equi-join (AQE splits residual skew). ``localCheckpoint`` truncates lineage
+every round (SURVEY.md §7.3.3).
+
+Cluster id = min clip_id of the component — a total, partitioning-invariant
+labeling, which is what makes the local[8] vs local[32] runs byte-identical
+(SURVEY.md §7.3.2). The reference has no clustering stage; its analogue is the
+candidate-set union across tables (``src/lsh.h:36-43``) whose transitive
+closure this computes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u})."""
+    em = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = em.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", "u").alias("m"))
+    return (
+        em.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges (u = max endpoint, v = min); connect each small neighbor
+    and u itself to the group min."""
+    e2 = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = e2.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        e2.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out
+
+
+def _checksum(edges: DataFrame) -> "tuple[int, int]":
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """edges(a, b) + nodes(clip_id) → clusters(clip_id, cluster_id).
+
+    Every node gets a label; nodes without surviving edges label themselves.
+    Raises if the star iteration hasn't converged after ``max_iters`` rounds
+    (components of diameter D converge in O(log D) alternations).
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if e.isEmpty():
+        return nodes.select("clip_id", F.col("clip_id").alias("cluster_id"))
+
+    prev = None
+    for _ in range(max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
+
+    # converged: every edge is (member, root). A node may appear as u with its
+    # root; roots/singletons appear only as v or not at all.
+    labels = e.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
+        F.col("u").alias("clip_id"), "cluster_id"
+    )
+    return (
+        nodes.select("clip_id")
+        .join(labels, "clip_id", "left")
+        .select(
+            "clip_id", F.coalesce("cluster_id", "clip_id").alias("cluster_id")
+        )
+    )

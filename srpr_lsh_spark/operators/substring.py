@@ -1,0 +1,122 @@
+"""Stage 2b: exact-substring duplicate pass (suffix-array verified).
+
+Containment is invisible to plain MinHash banding when the length ratio is
+small (Jaccard of a 40% substring is ≈ 0.4 — below band sensitivity), so this
+pass has its own candidate generator:
+
+- candidates: the contained side's **bottom-k shingle sketch** is joined
+  against an inverted index of ALL shingle hashes (every shingle of a
+  contained transcript occurs in its container, so all sketch hashes must
+  hit). The index is O(total transcript chars) rows — linear in corpus size,
+  the same asymptotics as corpus-wide suffix-array construction. Shingles
+  occurring in more than ``hot_shingle_cap`` clips are dropped from both sides
+  (prefix-filtering-style stopword cut) to bound join fan-out.
+- verification: per container group, ONE suffix array of the container's
+  normalized transcript is built and each candidate substring is binary-
+  searched (``kernels.text.suffix_array`` / ``sa_contains``) — exact, no
+  false positives.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from srpr_lsh_spark.config import DedupConfig
+from srpr_lsh_spark.kernels.hashing import shingle_hashes
+from srpr_lsh_spark.kernels.text import normalize_transcript, sa_contains, suffix_array
+
+
+def _shingle_index(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """clips → (clip_id, h) inverted index of every distinct shingle hash."""
+    k, seed, min_sh = cfg.k_shingle, cfg.seed, cfg.min_substr_shingles
+
+    schema = StructType(
+        [StructField("clip_id", StringType(), False), StructField("h", LongType(), False)]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = normalize_transcript(pdf["transcript"].tolist())
+            flat, off = shingle_hashes(texts, k=k, seed=seed)
+            counts = off[1:] - off[:-1]
+            ids = np.repeat(pdf["clip_id"].to_numpy(), counts)
+            yield pd.DataFrame({"clip_id": ids, "h": flat.view(np.int64)})
+
+    return clips.select("clip_id", "transcript").mapInPandas(gen, schema=schema)
+
+
+def containment_candidates(
+    clips: DataFrame, signatures: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """→ (short, long) candidate containment pairs."""
+    eligible = signatures.filter(F.col("n_shingles") >= cfg.min_substr_shingles)
+    sketch = eligible.select(
+        F.col("clip_id").alias("short"),
+        F.col("tr_len").alias("short_len"),
+        F.explode("sketch").alias("h"),
+    )
+    index = _shingle_index(clips, cfg)
+    # drop globally hot shingles from both sides
+    hot = (
+        index.groupBy("h").agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") > cfg.hot_shingle_cap)
+        .select("h")
+    )
+    index = index.join(hot, "h", "left_anti")
+    sketch = sketch.join(hot, "h", "left_anti")
+    # how many non-hot sketch hashes each short side still has
+    sk_size = sketch.groupBy("short", "short_len").agg(F.count("*").alias("sk_n"))
+    lens = signatures.select(F.col("clip_id").alias("long"), F.col("tr_len").alias("long_len"))
+
+    hits = (
+        sketch.join(index.withColumnRenamed("clip_id", "long"), "h")
+        .filter(F.col("short") != F.col("long"))
+        .groupBy("short", "long")
+        .agg(F.count("*").alias("matches"))
+    )
+    return (
+        hits.join(sk_size, "short")
+        .join(lens, "long")
+        .filter(F.col("short_len") < F.col("long_len"))
+        .filter(F.col("sk_n") > 0)
+        .filter(F.col("matches") >= F.greatest(F.lit(1), F.ceil(F.col("sk_n") * 0.8)))
+        .select("short", "long")
+    )
+
+
+def verify_containment(cands: DataFrame, clips: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Suffix-array verification → (a, b, source='substr') true containments."""
+    t = clips.select("clip_id", "transcript")
+    withs = cands.join(
+        t.select(F.col("clip_id").alias("short"), F.col("transcript").alias("ts")), "short"
+    ).join(
+        t.select(F.col("clip_id").alias("long"), F.col("transcript").alias("tl")), "long"
+    )
+
+    schema = StructType(
+        [
+            StructField("a", StringType(), False),
+            StructField("b", StringType(), False),
+            StructField("source", StringType(), False),
+        ]
+    )
+
+    def check_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one suffix array per container, searched for every candidate substring
+        tl = normalize_transcript([pdf["tl"].iloc[0]])[0].encode("utf-8")
+        sa = suffix_array(tl)
+        out_a, out_b = [], []
+        for _, row in pdf.iterrows():
+            ts = normalize_transcript([row["ts"]])[0].encode("utf-8")
+            if len(ts) and sa_contains(tl, sa, ts):
+                lo, hi = sorted([row["short"], row["long"]])
+                out_a.append(lo)
+                out_b.append(hi)
+        return pd.DataFrame({"a": out_a, "b": out_b, "source": "substr"})
+
+    return withs.groupBy("long").applyInPandas(check_group, schema=schema)

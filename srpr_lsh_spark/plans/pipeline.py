@@ -1,0 +1,116 @@
+"""End-to-end dedup pipeline: clips → clusters.
+
+Stage graph (SURVEY.md §7.1):
+
+    clips ──signatures──► signatures            (decode once, drop bytes)
+      signatures ──band explode──► candidates   (MinHash + SimHash spaces,
+                                                 salcap skew handling)
+      clips+signatures ──containment──► substring candidates
+      candidates ──exact verify──► verified_pairs
+         (exact-content star edges join in unverified — identical content
+          needs no pairwise check)
+      verified_pairs ──connected components──► clusters
+
+Every stage is checkpointed through the Warehouse (resume = stage skip), with
+per-partition lineage rows. ``stop_after`` aborts after a named stage to let
+tests simulate failures (FIXTURES.md §4.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from srpr_lsh_spark.config import DedupConfig
+from srpr_lsh_spark.operators.banding import (
+    SOURCE_MINHASH,
+    SOURCE_SIMHASH,
+    candidate_pairs,
+    exact_content_edges,
+    explode_bands,
+)
+from srpr_lsh_spark.operators.components import connected_components
+from srpr_lsh_spark.operators.signatures import compute_signatures
+from srpr_lsh_spark.operators.substring import containment_candidates, verify_containment
+from srpr_lsh_spark.operators.verify import verify_audio_pairs, verify_text_pairs
+from srpr_lsh_spark.plans.checkpoint import Warehouse
+
+STAGES = ("signatures", "candidates", "verified_pairs", "clusters")
+
+
+def _pad(df: DataFrame) -> DataFrame:
+    """Align verified-edge schemas: (a, b, source, jaccard, cosine, snr_db)."""
+    for c in ("jaccard", "cosine", "snr_db"):
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast("double"))
+    return df.select("a", "b", "source", "jaccard", "cosine", "snr_db")
+
+
+def run_dedup(
+    spark: SparkSession,
+    clips: DataFrame,
+    cfg: DedupConfig,
+    warehouse_dir: str,
+    resume: bool = True,
+    stop_after: "str | None" = None,
+) -> dict:
+    """Run (or resume) the pipeline. Returns dict with stage DataFrames and
+    ``skipped`` — the list of stages restored from checkpoints."""
+    wh = Warehouse(spark, warehouse_dir, cfg.config_hash(), resume=resume)
+    out: dict = {"warehouse": wh, "skipped": []}
+
+    def note(name, skipped):
+        if skipped:
+            out["skipped"].append(name)
+
+    sigs, sk = wh.stage("signatures", lambda: compute_signatures(clips, cfg))
+    note("signatures", sk)
+    out["signatures"] = sigs
+    if stop_after == "signatures":
+        return out
+
+    def build_candidates() -> DataFrame:
+        bands = explode_bands(sigs, cfg)
+        near = candidate_pairs(bands, cfg)  # both spaces; source column kept
+        sub = containment_candidates(clips, sigs, cfg).select(
+            F.col("short").alias("a"), F.col("long").alias("b"), F.lit("substr").alias("source")
+        )
+        return near.unionByName(sub)
+
+    cands, sk = wh.stage("candidates", build_candidates)
+    note("candidates", sk)
+    out["candidates"] = cands
+    if stop_after == "candidates":
+        return out
+
+    def build_verified() -> DataFrame:
+        exact = _pad(exact_content_edges(sigs))
+        text = _pad(
+            verify_text_pairs(cands.filter(F.col("source") == SOURCE_MINHASH), clips, cfg)
+        )
+        audio = _pad(
+            verify_audio_pairs(
+                cands.filter(F.col("source") == SOURCE_SIMHASH), clips, sigs, cfg
+            )
+        )
+        sub_cand = cands.filter(F.col("source") == "substr").select(
+            F.col("a").alias("short"), F.col("b").alias("long")
+        )
+        substr = _pad(verify_containment(sub_cand, clips, cfg))
+        return exact.unionByName(text).unionByName(audio).unionByName(substr)
+
+    verified, sk = wh.stage("verified_pairs", build_verified)
+    note("verified_pairs", sk)
+    out["verified_pairs"] = verified
+    if stop_after == "verified_pairs":
+        return out
+
+    def build_clusters() -> DataFrame:
+        nodes = sigs.select("clip_id")
+        return connected_components(
+            verified.select("a", "b"), nodes, max_iters=cfg.cc_max_iters
+        )
+
+    clusters, sk = wh.stage("clusters", build_clusters)
+    note("clusters", sk)
+    out["clusters"] = clusters
+    return out

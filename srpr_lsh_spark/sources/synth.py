@@ -154,11 +154,20 @@ def generate_block(block_id: int, params: SynthParams, vocab: "list[str]",
                                  cluster_id=SKEW_A_CLUSTER, role=role))
             continue
         if role == ROLE_SKEW_B:
+            # near-silent rows with UNIQUE bytes (a single tiny impulse at a
+            # position derived from the global clip index) but IDENTICAL
+            # fingerprints: an impulse has a flat magnitude spectrum, so every
+            # flavor-B row lands in the same SRP bucket of every table — the
+            # planted hot band — while no two rows are true duplicates.
             for j in range(size):
                 i = first_idx + j
-                dur = 800 + 40 * int(rng.integers(1, 50))  # distinct-ish lengths
+                dur = _SKEW_A_DUR_MS
                 n_samp = _SKEW_A_SR * dur // 1000
-                blob = encode_pcm16_wav(np.zeros(n_samp), _SKEW_A_SR) if with_audio else b""
+                sig = np.zeros(n_samp)
+                if with_audio:
+                    pos = (i * 2654435761) % n_samp
+                    sig[pos] = (3 + (i % 5)) / 32767.0
+                blob = encode_pcm16_wav(sig, _SKEW_A_SR) if with_audio else b""
                 rows.append(dict(clip_id=f"clip{i:09d}", bytes=blob, sr_hz=_SKEW_A_SR,
                                  dur_ms=dur, codec="pcm_s16le", transcript="",
                                  cluster_id=f"clip{i:09d}", role=role))

@@ -1,0 +1,78 @@
+"""Connected components vs a union-find oracle on random graphs."""
+
+import numpy as np
+import pytest
+
+from srpr_lsh_spark.operators.components import connected_components
+
+
+def _uf_oracle(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min member
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def _run(spark, nodes, edges, max_iters=25):
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["clip_id"])
+    if edges:
+        edf = spark.createDataFrame(list(edges), ["a", "b"])
+    else:
+        edf = ndf.select(
+            ndf.clip_id.alias("a"), ndf.clip_id.alias("b")
+        ).limit(0)
+    got = {
+        r["clip_id"]: r["cluster_id"]
+        for r in connected_components(edf, ndf, max_iters=max_iters).collect()
+    }
+    return got
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_graphs_match_union_find(spark, seed):
+    rng = np.random.default_rng(seed)
+    n = 120
+    nodes = [f"n{i:04d}" for i in range(n)]
+    m = int(rng.integers(30, 140))
+    edges = {
+        tuple(sorted((nodes[int(rng.integers(0, n))], nodes[int(rng.integers(0, n))])))
+        for _ in range(m)
+    }
+    edges = {(a, b) for a, b in edges if a != b}
+    assert _run(spark, nodes, edges) == _uf_oracle(nodes, edges)
+
+
+def test_long_chain(spark):
+    """A path graph — worst-case diameter — must still converge in O(log n)."""
+    n = 64
+    nodes = [f"c{i:03d}" for i in range(n)]
+    edges = [(nodes[i], nodes[i + 1]) for i in range(n - 1)]
+    got = _run(spark, nodes, edges, max_iters=12)
+    assert set(got.values()) == {nodes[0]}
+
+
+def test_no_edges_all_singletons(spark):
+    nodes = [f"s{i}" for i in range(10)]
+    got = _run(spark, nodes, [])
+    assert got == {x: x for x in nodes}
+
+
+def test_giant_star(spark):
+    """The exact-content short-circuit shape: one hub, many leaves."""
+    nodes = [f"h{i:05d}" for i in range(200)]
+    edges = [(nodes[0], x) for x in nodes[1:]]
+    got = _run(spark, nodes, edges)
+    assert set(got.values()) == {nodes[0]}

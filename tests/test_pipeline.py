@@ -1,0 +1,116 @@
+"""End-to-end pipeline tests: cluster parity vs planted oracle (recall ≥ 0.99,
+zero false positives), checkpoint resume, lineage (FIXTURES.md §4)."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from srpr_lsh_spark.config import DedupConfig
+from srpr_lsh_spark.plans.pipeline import run_dedup
+from srpr_lsh_spark.sources.synth import SynthParams, synthesize_clips
+
+CFG = DedupConfig(shuffle_partitions=8)
+PARAMS = SynthParams(n_clips=600, block_size=200, seed=42, min_dur_ms=300, max_dur_ms=1500)
+
+
+def _canon(assign: "dict[str, str]") -> "dict[str, str]":
+    groups: dict[str, list] = {}
+    for k, v in assign.items():
+        groups.setdefault(v, []).append(k)
+    return {m: min(ms) for ms in groups.values() for m in ms}
+
+
+def _pairs(assign: "dict[str, str]") -> set:
+    groups: dict[str, list] = {}
+    for k, v in assign.items():
+        groups.setdefault(v, []).append(k)
+    out = set()
+    for ms in groups.values():
+        ms = sorted(ms)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                out.add((ms[i], ms[j]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def result(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("wh")
+    clips, oracle = synthesize_clips(spark, PARAMS, out_dir=str(root / "data"))
+    res = run_dedup(spark, clips, CFG, warehouse_dir=str(root / "wh"))
+    got = {r["clip_id"]: r["cluster_id"] for r in res["clusters"].collect()}
+    want = {r["clip_id"]: r["cluster_id"] for r in oracle.collect()}
+    return res, got, want, root, clips
+
+
+def test_all_clips_labeled(result):
+    res, got, want, *_ = result
+    assert set(got) == set(want)
+
+
+def test_cluster_parity_and_recall(result):
+    res, got, want, *_ = result
+    gp, wp = _pairs(got), _pairs(want)
+    missing = wp - gp
+    extra = gp - wp
+    recall = 1 - len(missing) / max(len(wp), 1)
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f}; missing e.g. {sorted(missing)[:5]}"
+    assert not extra, f"false-positive pairs: {sorted(extra)[:5]}"
+
+
+def test_exact_parity_canonical(result):
+    """At this config the clustering should be *exactly* the oracle."""
+    res, got, want, *_ = result
+    assert _canon(got) == _canon(want)
+
+
+def test_lineage_written(result):
+    res, *_ = result
+    lin = res["warehouse"].lineage().toPandas()
+    assert set(lin["stage"]) >= {"signatures", "candidates", "verified_pairs", "clusters"}
+    assert (lin["rows_out"] > 0).any()
+    assert (lin["config_hash"] == CFG.config_hash()).all()
+
+
+def test_resume_skips_completed_stages(result, spark):
+    res, got, want, root, clips = result
+    # rerun over the same warehouse: every stage must be restored, output equal
+    res2 = run_dedup(spark, clips, CFG, warehouse_dir=str(root / "wh"))
+    assert sorted(res2["skipped"]) == sorted(
+        ["signatures", "candidates", "verified_pairs", "clusters"]
+    )
+    got2 = {r["clip_id"]: r["cluster_id"] for r in res2["clusters"].collect()}
+    assert got2 == got
+
+
+def test_resume_after_partial_run(spark, tmp_path):
+    params = SynthParams(n_clips=200, block_size=100, seed=43, min_dur_ms=300, max_dur_ms=900)
+    clips, oracle = synthesize_clips(spark, params, out_dir=str(tmp_path / "d"))
+    wdir = str(tmp_path / "wh")
+    # simulate a crash after the candidates stage
+    partial = run_dedup(spark, clips, CFG, warehouse_dir=wdir, stop_after="candidates")
+    assert "clusters" not in partial
+    sig_manifest = json.load(open(os.path.join(wdir, "signatures._manifest.json")))
+    # resume to completion: early stages skipped, not recomputed
+    full = run_dedup(spark, clips, CFG, warehouse_dir=wdir)
+    assert "signatures" in full["skipped"] and "candidates" in full["skipped"]
+    sig_manifest2 = json.load(open(os.path.join(wdir, "signatures._manifest.json")))
+    assert sig_manifest["run_id"] == sig_manifest2["run_id"]  # untouched on disk
+    # and a config change invalidates resume
+    cfg2 = DedupConfig(shuffle_partitions=8, jaccard_threshold=0.85)
+    res3 = run_dedup(spark, clips, cfg2, warehouse_dir=wdir, stop_after="signatures")
+    assert res3["skipped"] == []
+
+
+def test_verified_pair_evidence_columns(result):
+    res, *_ = result
+    vp = res["verified_pairs"].toPandas()
+    assert set(vp["source"]) >= {"exact", "minhash"}
+    mh = vp[vp["source"] == "minhash"]
+    assert (mh["jaccard"] >= CFG.jaccard_threshold).all()
+    sh = vp[vp["source"] == "simhash"]
+    if len(sh):
+        assert (sh["cosine"] >= CFG.cosine_threshold).all()
+        assert (sh["snr_db"] >= CFG.snr_db_threshold).all()

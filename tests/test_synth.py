@@ -108,8 +108,14 @@ def test_skew_rows(corpus):
     assert (a["transcript"] == "").all() and (b["transcript"] == "").all()
     # flavor B rows are all-distinct content → each its own oracle cluster
     assert (b["cluster_id"] == b["clip_id"]).all()
+    assert b["bytes"].map(bytes).nunique() == len(b)
+    from srpr_lsh_spark.kernels.audio import fingerprint
+    fps = [fingerprint(decode_pcm16_wav(bytes(blob))) for blob in b["bytes"]]
     for blob in b["bytes"].head(5):
-        assert np.abs(decode_pcm16_wav(bytes(blob))).max() == 0.0
+        assert np.abs(decode_pcm16_wav(bytes(blob))).max() <= 8 / 32767
+    # identical fingerprints → the planted hot SRP band
+    for f in fps[1:]:
+        assert np.allclose(f, fps[0], atol=1e-5)
 
 
 def test_spark_synthesis_matches_local(spark, tmp_path):
