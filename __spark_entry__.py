@@ -1,38 +1,63 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end dedup (synthetic clips corpus →
+clusters). ``queries()`` exposes one entry per implemented operator family
+(SURVEY.md §2); SQL-expressible ones have matching ``oracle_sql()`` strings the
+driver checks against DuckDB; LSH/UDF stages are rows-only (their exactness is
+pinned by the pytest oracles in tests/).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from srpr_lsh_spark.config import DedupConfig
+from srpr_lsh_spark.functions.parity import ORACLE_QUERIES
+from srpr_lsh_spark.plans import documents as docq
+from srpr_lsh_spark.plans.pipeline import run_dedup
+from srpr_lsh_spark.sources.synth import SynthParams, synthesize_clips
+
+_CFG = DedupConfig()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full near-dup pipeline (MinHash + SimHash + substring +
+    exact short-circuit → verified pairs → connected components) on a small
+    deterministic clips corpus; returns the non-singleton clusters."""
+    params = SynthParams(n_clips=400, block_size=100, seed=42,
+                         min_dur_ms=300, max_dur_ms=1200)
+    wh_root = os.environ.get("SPARK_GRAFT_WH", "/tmp/srpr_lsh_spark_entry")
+    clips, _oracle = synthesize_clips(spark, params, out_dir=f"{wh_root}/data")
+    res = run_dedup(spark, clips, _CFG, warehouse_dir=f"{wh_root}/wh")
+    clusters = res["clusters"]
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        clusters.join(sizes, "cluster_id")
+        .filter(F.col("cluster_size") >= 2)
+        .select("clip_id", "cluster_id", "cluster_size")
+        .orderBy("clip_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (fn, _sql) in ORACLE_QUERIES.items():
+        out[name] = fn
+    # non-SQL-expressible LSH/UDF stages → rows-only driver checks
+    out["minhash_signatures"] = lambda s, d: docq.minhash_signature_table(s, d, _CFG)
+    out["band_bucket_histogram"] = lambda s, d: docq.band_bucket_histogram(s, d, _CFG)
+    out["near_dup_pairs_documents"] = lambda s, d: docq.near_dup_pairs_documents(
+        s, d, _CFG, threshold=0.5
+    )
+    out["ann_lsh_topk"] = lambda s, d: docq.ann_lsh_topk_embeddings(s, d, _CFG)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in ORACLE_QUERIES.items()}

@@ -1,0 +1,112 @@
+"""Approximate nearest neighbors over an embedding column.
+
+Two paths, mirroring the reference's evaluation design (brute force as oracle,
+LSH as the fast path — ``main.cpp:122-166``):
+
+- brute-force cosine top-k: DataFrame crossJoin + window (the oracle; also the
+  DuckDB-checked ``embedding_cosine_topk`` parity query),
+- SRP-LSH-bucketed top-k: explode SRP table keys (the reference's L-table
+  scheme, ``src/lsh.h:27-44``), bucket-join query and candidate sides, exact
+  cosine re-rank on the candidate union, top-k with total-order tie-break
+  (score desc, id asc) — ``src/lsh.h:132-168`` semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+from srpr_lsh_spark.kernels.hashing import srp_keys, srp_planes
+
+
+def _with_srp_keys(
+    df: DataFrame, vec_col: str, id_col: str, dim: int, tables: int, bits: int, seed: int
+) -> DataFrame:
+    planes = srp_planes(dim, tables, bits, seed)
+    b = df.sparkSession.sparkContext.broadcast(planes)
+
+    schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType, False),
+            StructField("keys", ArrayType(LongType(), False), False),
+        ]
+    )
+
+    def gen(batches):
+        pl = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            keys = srp_keys(vecs, pl, tables=tables, bits=bits)
+            yield pd.DataFrame({"id": pdf[id_col], "keys": list(keys)})
+
+    return df.select(F.col(id_col).alias(id_col), F.col(vec_col)).mapInPandas(
+        gen, schema=schema
+    )
+
+
+def cosine_expr(a: str, b: str):
+    """JVM-side cosine similarity of two float array columns (double math)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n1 = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    n2 = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (n1 * n2)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    tables: int = 12,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """SRP-LSH top-k: bucket-probe join → candidate union → exact re-rank.
+
+    ``queries`` is a subset of ``vectors`` (or any frame with the same id/vec
+    columns). Returns (query_id, cand_id, cosine, rnk ≤ k).
+    """
+    keys_all = _with_srp_keys(vectors, vec_col, id_col, dim, tables, bits, seed)
+    keys_q = _with_srp_keys(queries, vec_col, id_col, dim, tables, bits, seed)
+    idx = keys_all.select("id", F.posexplode("keys").alias("t", "key"))
+    qx = keys_q.select(
+        F.col("id").alias("query_id"), F.posexplode("keys").alias("t", "key")
+    )
+    # the LSH bucket-probe join (src/lsh.h:34-44) + union across tables (:36-43)
+    cands = (
+        qx.join(idx, ["t", "key"])
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("cand_id"))
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = vectors.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .select("query_id", "cand_id", F.round(cosine_expr("qv", "cv"), 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

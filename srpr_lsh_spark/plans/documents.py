@@ -1,0 +1,85 @@
+"""Text-only dedup over the driver's ``documents`` table + rows-only queries.
+
+``documents(doc_id, text, ...)`` is the transcript stand-in (TESTDATA.md): the
+adapter maps it onto the clips schema with no audio, and the MinHash side of
+the pipeline runs unchanged. These power the non-SQL-expressible ``queries()``
+entries (LSH stages get rows-only driver checks; their exactness is pinned by
+the pytest oracles instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from srpr_lsh_spark.config import DedupConfig
+from srpr_lsh_spark.operators.ann import lsh_topk
+from srpr_lsh_spark.operators.banding import SOURCE_MINHASH, candidate_pairs, explode_bands
+from srpr_lsh_spark.operators.signatures import compute_signatures
+from srpr_lsh_spark.operators.verify import verify_text_pairs
+
+
+def documents_as_clips(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col("doc_id").cast("string").alias("clip_id"),
+        F.lit(None).cast("binary").alias("bytes"),
+        F.lit(None).cast("int").alias("sr_hz"),
+        F.lit(None).cast("int").alias("dur_ms"),
+        F.lit("none").alias("codec"),
+        F.col("text").alias("transcript"),
+    )
+
+
+def doc_signatures(spark: SparkSession, sf_dir: str, cfg: DedupConfig) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return compute_signatures(documents_as_clips(docs), cfg)
+
+
+def minhash_signature_table(spark: SparkSession, sf_dir: str, cfg: DedupConfig) -> DataFrame:
+    """(doc_id, n_shingles, first 4 minhash components) — deterministic."""
+    sigs = doc_signatures(spark, sf_dir, cfg)
+    return sigs.select(
+        F.col("clip_id").cast("long").alias("doc_id"),
+        "n_shingles",
+        F.col("minhash")[0].alias("mh0"),
+        F.col("minhash")[1].alias("mh1"),
+        F.col("minhash")[2].alias("mh2"),
+        F.col("minhash")[3].alias("mh3"),
+    )
+
+
+def band_bucket_histogram(spark: SparkSession, sf_dir: str, cfg: DedupConfig) -> DataFrame:
+    """Histogram of MinHash band bucket sizes — the LSH table load profile."""
+    sigs = doc_signatures(spark, sf_dir, cfg)
+    bands = explode_bands(sigs, cfg).filter(F.col("source") == SOURCE_MINHASH)
+    sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_size"))
+    return sizes.groupBy("bucket_size").agg(F.count("*").alias("n_buckets"))
+
+
+def near_dup_pairs_documents(
+    spark: SparkSession, sf_dir: str, cfg: DedupConfig, threshold: float = 0.5
+) -> DataFrame:
+    """Flagship text path: shingle → MinHash → bands → candidates → exact
+    Jaccard ≥ threshold."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clips = documents_as_clips(docs)
+    import dataclasses
+
+    vcfg = dataclasses.replace(cfg, jaccard_threshold=threshold)
+    sigs = compute_signatures(clips, vcfg)
+    bands = explode_bands(sigs, vcfg).filter(F.col("source") == SOURCE_MINHASH)
+    cands = candidate_pairs(bands, vcfg)
+    verified = verify_text_pairs(cands, clips, vcfg)
+    return verified.select(
+        F.col("a").cast("long").alias("doc_a"),
+        F.col("b").cast("long").alias("doc_b"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str, cfg: DedupConfig) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding",
+        dim=64, k=10, tables=12, bits=8, seed=cfg.seed,
+    )

@@ -1,0 +1,69 @@
+"""Driver-gate rehearsal: every ``queries()`` entry with an ``oracle_sql()``
+string must match DuckDB on the same parquet tables at sf0.01 —
+row count + column names + order-insensitive values (FIXTURES.md §4.2)."""
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from srpr_lsh_spark.sources.readers import TPCH_TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_PARITY", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> "list[tuple]":
+    df = df[sorted(df.columns)]
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        if isinstance(v, float):
+            return round(v, 6)
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        return v
+
+    rows = [tuple(norm(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+def test_query_matches_duckdb(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = q(spark, SF_DIR).toPandas()
+    want = duck.sql(sql).df()
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: columns {sorted(got.columns)} vs {sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    cg, cw = _canon(got), _canon(want)
+    mismatches = [(a, b) for a, b in zip(cg, cw) if a != b][:5]
+    assert cg == cw, f"{name}: first value mismatches {mismatches}"
+
+
+def test_rows_only_queries_run(spark):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    rows_only = [k for k in qs if k not in oracles]
+    assert sorted(rows_only) == [
+        "ann_lsh_topk",
+        "band_bucket_histogram",
+        "minhash_signatures",
+        "near_dup_pairs_documents",
+    ]
+    for k in rows_only:
+        df = qs[k](spark, SF_DIR)
+        assert df.count() >= 0 and len(df.schema) > 0
