@@ -27,10 +27,12 @@ class DedupConfig:
     # L=12, b=6; we default to the same table count with more bits because
     # fingerprints of true near-dups are nearly parallel (cos ≈ 1).
     sim_tables: int = 12        # L
-    sim_bits: int = 16          # b per table (packed into one int64 key)
+    sim_bits: int = 24          # b per table (packed into one int64 key)
     fingerprint_dim: int = 32   # D — matches the reference embedding dim (main.cpp:62)
     cosine_threshold: float = 0.997  # exact-verify acceptance on fingerprints
     snr_db_threshold: float = 30.0   # decoded-PCM pair SNR acceptance (input_hint)
+    sketch_points: int = 512         # decimated-PCM sketch length (~1 ms stride)
+    sketch_margin_db: float = 3.0    # sketch-SNR prefilter slack vs full check
     # --- substring (suffix-array) path ---
     bottom_k: int = 16          # bottom-k shingle sketch size for containment candidates
     containment_min_matches: int = 3  # sketch-hash matches needed to form a candidate
@@ -43,6 +45,10 @@ class DedupConfig:
     # --- layout ---
     shuffle_partitions: int = 32
     cc_max_iters: int = 25
+    # input split size for the decode/signature scan: audio rows are wide, the
+    # UDF is CPU-bound, so splits should be small enough to use every core
+    # (bytes are NEVER shuffled to fix parallelism — SURVEY §7.3.5)
+    input_split_bytes: int = 4 << 20
     extra: dict = field(default_factory=dict, compare=False)
 
     def __post_init__(self) -> None:

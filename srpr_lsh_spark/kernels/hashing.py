@@ -25,13 +25,8 @@ _MIX1 = U64(0xBF58476D1CE4E5B9)
 _MIX2 = U64(0x94D049BB133111EB)
 
 
-def mix64(x: np.ndarray) -> np.ndarray:
-    """SplitMix64 finalizer — a public-domain bijective mixer (Steele et al.).
-
-    Used everywhere a universal-ish 64-bit hash family is needed; the family
-    member is selected by XORing a seed before mixing.
-    """
-    x = x.astype(U64, copy=True)
+def _mix_inplace(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer applied IN PLACE (caller owns the buffer)."""
     with np.errstate(over="ignore"):
         x ^= x >> U64(30)
         x *= _MIX1
@@ -39,6 +34,15 @@ def mix64(x: np.ndarray) -> np.ndarray:
         x *= _MIX2
         x ^= x >> U64(31)
     return x
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — a public-domain bijective mixer (Steele et al.).
+
+    Used everywhere a universal-ish 64-bit hash family is needed; the family
+    member is selected by XORing a seed before mixing.
+    """
+    return _mix_inplace(x.astype(U64, copy=True))
 
 
 def _seed_stream(seed: int, n: int, tag: int) -> np.ndarray:
@@ -96,13 +100,19 @@ def minhash_signatures(
     out = np.full((n_rows, n_perm), np.iinfo(U64).max, dtype=U64)
     if flat.size == 0:
         return out
-    # (n_shingles, n_perm) hash matrix, then segment-min per row.
-    hm = mix64(flat[:, None] ^ seeds[None, :])
+    # One permutation at a time over ALL shingles (1-D temps only): the
+    # obvious (n_shingles, n_perm) matrix costs a large fresh allocation per
+    # batch, which hits a severe first-touch page-fault penalty in this
+    # environment; the 1-D loop does identical work with O(n_shingles)
+    # scratch that the allocator reuses across permutations.
     starts = offsets[:-1]
     nonempty = offsets[1:] > starts
-    if nonempty.any():
-        red = np.minimum.reduceat(hm, starts[nonempty], axis=0)
-        out[nonempty] = red
+    red_starts = starts[nonempty]
+    buf = np.empty(flat.size, dtype=U64)
+    for j in range(n_perm):
+        np.bitwise_xor(flat, seeds[j], out=buf)
+        _mix_inplace(buf)
+        out[nonempty, j] = np.minimum.reduceat(buf, red_starts)
     return out
 
 

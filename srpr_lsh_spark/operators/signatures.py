@@ -57,6 +57,10 @@ def signatures_schema() -> StructType:
             StructField("sketch", ArrayType(LongType(), False), True),
             StructField("fp", ArrayType(FloatType(), False), True),
             StructField("sim_keys", ArrayType(LongType(), False), True),
+            # ~1 ms-stride decimated PCM: lets the verifier estimate pair SNR
+            # without re-shipping audio bytes (prefix-stable within a sample
+            # rate, so trimmed-prefix duplicates keep the prefix property)
+            StructField("pcm_sketch", ArrayType(FloatType(), False), True),
         ]
     )
 
@@ -76,6 +80,7 @@ def compute_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
     k, n_perm, bands, rows = cfg.k_shingle, cfg.n_perm, cfg.bands, cfg.rows
     bottom_k, seed, dim = cfg.bottom_k, cfg.seed, cfg.fingerprint_dim
     tables, bits = cfg.sim_tables, cfg.sim_bits
+    sketch_points = cfg.sketch_points
 
     def gen(batches):
         pl = bplanes.value
@@ -89,12 +94,21 @@ def compute_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
             bh = band_hashes(sig, bands=bands, rows=rows, seed=seed)
             skf, sko = bottom_k_sketch(flat, off, k=bottom_k)
             fps = np.zeros((n, dim), dtype=np.float32)
+            sketches: list[np.ndarray] = []
             blobs = pdf["bytes"].tolist()
             codecs = pdf["codec"].tolist()
+            srs = pdf["sr_hz"].tolist()
+            empty_sketch = np.empty(0, dtype=np.float32)
             for i, blob in enumerate(blobs):
                 if blob is not None and len(blob) > 0:
                     pcm = decode_pcm16_wav(bytes(blob), codec=codecs[i])
                     fps[i] = fingerprint(pcm, dim=dim)
+                    stride = max(1, int(srs[i] or 16000) // 1000)
+                    sketches.append(
+                        pcm[:: stride][:sketch_points].astype(np.float32)
+                    )
+                else:
+                    sketches.append(empty_sketch)
             skeys = srp_keys(fps, pl, tables=tables, bits=bits)
             sig_i64 = sig.view(np.int64)
             yield pd.DataFrame(
@@ -111,8 +125,12 @@ def compute_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
                     "sketch": [skf[sko[i] : sko[i + 1]] for i in range(n)],
                     "fp": [fps[i] for i in range(n)],
                     "sim_keys": [skeys[i] for i in range(n)],
+                    "pcm_sketch": sketches,
                 }
             )
 
-    cols = ["clip_id", "bytes", "codec", "transcript"]
+    cols = ["clip_id", "bytes", "codec", "sr_hz", "transcript"]
+    # NB: no repartition here — audio bytes must never shuffle (SURVEY §7.3.5).
+    # Scan parallelism for this CPU-heavy stage is controlled by the input
+    # split size instead (run_dedup pins spark.sql.files.maxPartitionBytes).
     return clips.select(*cols).mapInPandas(gen, schema=signatures_schema())

@@ -28,12 +28,24 @@ from srpr_lsh_spark.kernels.hashing import shingle_hashes
 from srpr_lsh_spark.kernels.text import jaccard, normalize_transcript
 
 
-def _attach(pairs: DataFrame, lookup: DataFrame, cols: "dict[str, str]", on: str) -> DataFrame:
-    """Join ``lookup`` columns onto ``pairs`` for side ``on`` ('a' or 'b'),
-    after shrinking ``lookup`` to only the referenced ids (semi-join) so wide
-    columns (transcripts, bytes) never shuffle for unreferenced rows."""
-    ids = pairs.select(F.col(on).alias("clip_id")).distinct()
-    slim = lookup.join(ids, "clip_id", "left_semi").select(
+def _attach(
+    pairs: DataFrame,
+    lookup: DataFrame,
+    cols: "dict[str, str]",
+    on: str,
+    shrink: bool = True,
+) -> DataFrame:
+    """Join ``lookup`` columns onto ``pairs`` for side ``on`` ('a' or 'b').
+
+    ``shrink=True`` first semi-joins ``lookup`` down to the referenced ids so
+    wide columns (audio bytes) never shuffle for unreferenced rows — worth two
+    extra shuffles only when the payload dwarfs them. Narrow lookups
+    (fingerprints, sketches, transcripts) join directly."""
+    slim = lookup
+    if shrink:
+        ids = pairs.select(F.col(on).alias("clip_id")).distinct()
+        slim = lookup.join(ids, "clip_id", "left_semi")
+    slim = slim.select(
         F.col("clip_id").alias(on), *[F.col(src).alias(dst) for src, dst in cols.items()]
     )
     return pairs.join(slim, on)
@@ -41,8 +53,9 @@ def _attach(pairs: DataFrame, lookup: DataFrame, cols: "dict[str, str]", on: str
 
 def verify_text_pairs(pairs: DataFrame, clips: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(a, b, source) + clips → verified (a, b, source, jaccard) at threshold."""
-    withz = _attach(pairs, clips, {"transcript": "ta"}, "a")
-    withz = _attach(withz, clips, {"transcript": "tb"}, "b")
+    t = clips.select("clip_id", "transcript")
+    withz = _attach(pairs, t, {"transcript": "ta"}, "a", shrink=False)
+    withz = _attach(withz, t, {"transcript": "tb"}, "b", shrink=False)
     k, seed, thr = cfg.k_shingle, cfg.seed, cfg.jaccard_threshold
 
     schema = StructType(
@@ -79,21 +92,73 @@ def verify_text_pairs(pairs: DataFrame, clips: DataFrame, cfg: DedupConfig) -> D
 def verify_audio_pairs(
     pairs: DataFrame, clips: DataFrame, signatures: DataFrame, cfg: DedupConfig
 ) -> DataFrame:
-    """(a, b, source) → verified (a, b, source, cosine, snr_db)."""
-    fp = signatures.select("clip_id", "fp")
-    withf = _attach(pairs, fp, {"fp": "fa"}, "a")
-    withf = _attach(withf, fp, {"fp": "fb"}, "b")
-    # phase 1: fingerprint cosine (fingerprints are L2-normalized → dot product)
-    cos = F.aggregate(
-        F.zip_with("fa", "fb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v.cast("double"),
-    )
-    survivors = withf.withColumn("cosine", cos).filter(
-        F.col("cosine") >= F.lit(cfg.cosine_threshold)
-    ).select("a", "b", "source", "cosine")
+    """(a, b, source) → verified (a, b, source, cosine, snr_db).
 
-    # phase 2: decoded-PCM SNR on the survivors only
+    Three phases, each shrinking the set before the next gets more expensive:
+    1. fingerprint cosine from the signatures table (no audio movement) —
+       kills the giant hot-band star pairs (zero fingerprints → cosine 0);
+    2. decimated-PCM sketch SNR, also from signatures — kills "fingerprint
+       twins" (different clips whose spectra coincide) without ever touching
+       bytes: their waveforms disagree, so sketch SNR ≈ 0 dB. Threshold is
+       ``snr_db_threshold - sketch_margin_db`` (the sketch is an estimator);
+    3. full decoded-PCM pair SNR (the BASELINE.json per-row invariant) — the
+       authoritative check, now on a set bounded by the true duplicate count,
+       so audio bytes are only ever joined for rows that are almost certainly
+       duplicates.
+    """
+    cos_thr = cfg.cosine_threshold
+    sketch_thr = cfg.snr_db_threshold - cfg.sketch_margin_db
+
+    # phase 1: fingerprint cosine — fp is 128 B/row, attach for every pair
+    fp_side = signatures.select("clip_id", "fp")
+    withf = _attach(pairs, fp_side, {"fp": "fa"}, "a", shrink=False)
+    withf = _attach(withf, fp_side, {"fp": "fb"}, "b", shrink=False)
+
+    pre_schema = StructType(
+        [
+            StructField("a", StringType(), False),
+            StructField("b", StringType(), False),
+            StructField("source", StringType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+
+    def cos_filter(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            fa = np.stack(pdf["fa"].to_numpy())
+            fb = np.stack(pdf["fb"].to_numpy())
+            cosines = np.einsum("ij,ij->i", fa, fb).astype(np.float64)
+            keep = cosines >= cos_thr
+            out = pdf.loc[keep, ["a", "b", "source"]].copy()
+            out["cosine"] = cosines[keep]
+            yield out
+
+    cos_pass = withf.mapInPandas(cos_filter, schema=pre_schema)
+
+    # phase 2: sketch SNR — the multi-KB sketch is only attached for pairs
+    # that already look parallel (never for the full candidate set)
+    sk_side = signatures.select("clip_id", "pcm_sketch")
+    withs = _attach(cos_pass, sk_side, {"pcm_sketch": "sa"}, "a", shrink=False)
+    withs = _attach(withs, sk_side, {"pcm_sketch": "sb"}, "b", shrink=False)
+
+    def sketch_filter(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = []
+            for i, (sa, sb) in enumerate(zip(pdf["sa"], pdf["sb"])):
+                sa = np.asarray(sa, dtype=np.float64)
+                sb = np.asarray(sb, dtype=np.float64)
+                snr = min(pair_snr_db(sa, sb), pair_snr_db(sb, sa))
+                if snr >= sketch_thr:
+                    keep.append(i)
+            yield pdf.iloc[keep][["a", "b", "source", "cosine"]]
+
+    survivors = withs.mapInPandas(sketch_filter, schema=pre_schema)
+
+    # phase 3: authoritative decoded-PCM SNR; bytes join only for survivors
     blobs = clips.select("clip_id", "bytes", "codec")
     withb = _attach(survivors, blobs, {"bytes": "ba", "codec": "ca"}, "a")
     withb = _attach(withb, blobs, {"bytes": "bb", "codec": "cb"}, "b")

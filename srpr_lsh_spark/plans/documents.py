@@ -65,9 +65,12 @@ def near_dup_pairs_documents(
     import dataclasses
 
     vcfg = dataclasses.replace(cfg, jaccard_threshold=threshold)
-    sigs = compute_signatures(clips, vcfg)
+    # localCheckpoint: the uncheckpointed DAG would recompute the signature
+    # UDF once per downstream branch (bucket sizes, pair join, two verify
+    # attaches) — measured 36 s → ~8 s on 500 docs
+    sigs = compute_signatures(clips, vcfg).localCheckpoint(eager=True)
     bands = explode_bands(sigs, vcfg).filter(F.col("source") == SOURCE_MINHASH)
-    cands = candidate_pairs(bands, vcfg)
+    cands = candidate_pairs(bands, vcfg).localCheckpoint(eager=True)
     verified = verify_text_pairs(cands, clips, vcfg)
     return verified.select(
         F.col("a").cast("long").alias("doc_a"),

@@ -62,7 +62,16 @@ def run_dedup(
         if skipped:
             out["skipped"].append(name)
 
-    sigs, sk = wh.stage("signatures", lambda: compute_signatures(clips, cfg))
+    def build_signatures() -> DataFrame:
+        return compute_signatures(clips, cfg)
+
+    old_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(cfg.input_split_bytes))
+    try:
+        sigs, sk = wh.stage("signatures", build_signatures)
+    finally:
+        if old_split is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
     note("signatures", sk)
     out["signatures"] = sigs
     if stop_after == "signatures":
