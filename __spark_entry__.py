@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, _CFG, threshold=0.5
     )
     out["ann_lsh_topk"] = lambda s, d: docq.ann_lsh_topk_embeddings(s, d, _CFG)
+    out["ann_eval"] = lambda s, d: docq.ann_eval_embeddings(s, d, _CFG)
     return out
 
 

@@ -52,23 +52,31 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def _session(cpus: int):
+def _scratch_dir() -> str:
+    # tmpfs when available: the bench corpus is synthetic scratch, and the
+    # host's disk adds noise that swamps scaling measurements
+    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
+def _session(cpus: int, shuffle_partitions: "int | None" = None):
     from pyspark.sql import SparkSession
 
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"srpr-lsh-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", "24g")
+        .config("spark.local.dir", os.path.join(_scratch_dir(), f"spark_local_{cpus}"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
 
 
-def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None) -> dict:
+def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
+               shuffle_partitions: "int | None" = None) -> dict:
     from srpr_lsh_spark.config import DedupConfig
     from srpr_lsh_spark.plans.pipeline import run_dedup
     from srpr_lsh_spark.sources.synth import SynthParams, synthesize_clips
@@ -76,13 +84,14 @@ def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None) -> dict:
     sf = _sf_of(sf_dir)
     if n_clips is None:
         n_clips = max(2000, int(sf * 200_000))  # sf0.1 → 20k clips
-    spark = _session(cpus)
+    shuffle_partitions = shuffle_partitions or max(cpus * 2, 8)
+    spark = _session(cpus, shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
-    cfg = DedupConfig(shuffle_partitions=max(cpus * 2, 8))
+    cfg = DedupConfig(shuffle_partitions=shuffle_partitions)
     params = SynthParams(
         n_clips=n_clips, block_size=250, seed=42, min_dur_ms=300, max_dur_ms=1200
     )
-    tmp = tempfile.mkdtemp(prefix="srpr_bench_")
+    tmp = tempfile.mkdtemp(prefix="srpr_bench_", dir=_scratch_dir())
     out: dict = {"sf": sf, "cpus": cpus, "n_clips": n_clips}
     try:
         t0 = time.time()
@@ -112,36 +121,57 @@ def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None) -> dict:
     return out
 
 
-def run_scaling(sf_dir: str, n_clips: int = 20000) -> None:
-    """Same job at local[8] and local[32]; efficiency = (T_8/T_32)/4."""
-    results = {}
-    for cpus in (8, 32):
-        cmd = [
-            sys.executable, os.path.abspath(__file__),
-            "--sf-dir", sf_dir, "--cpus", str(cpus),
-            "--n-clips", str(n_clips), "--json-only",
-        ]
-        proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-    t8, t32 = results[8]["dedup_sec"], results[32]["dedup_sec"]
-    eff = (t8 / t32) / 4.0
+def _one_scaling_run(sf_dir: str, cpus: int, n_clips: int) -> dict:
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--sf-dir", sf_dir, "--cpus", str(cpus),
+        "--n-clips", str(n_clips), "--json-only",
+        "--shuffle-partitions", "64",
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    line = [
+        l for l in proc.stdout.strip().splitlines()
+        if l.startswith("{") and '"metric"' in l
+    ][-1]
+    return json.loads(line)
+
+
+def run_scaling(sf_dir: str, n_clips: int = 20000, n_lo: int = 4, n_hi: int = 16,
+                reps: int = 2) -> None:
+    """Identical job at local[n_lo] and local[n_hi] (n_hi = 4*n_lo), the
+    sandbox stand-in for N vs 4N executors. The host is a single shared
+    32-core box: each Spark task also drives a Python worker process, so the
+    pair (4, 16) keeps both runs un-oversubscribed; runs alternate between
+    levels and each level takes its best of ``reps`` to suppress the host's
+    memory-reclaim noise. efficiency = (T_lo / T_hi) / 4."""
+    runs: dict[int, list] = {n_lo: [], n_hi: []}
+    for _ in range(reps):
+        for cpus in (n_lo, n_hi):
+            runs[cpus].append(_one_scaling_run(sf_dir, cpus, n_clips))
+    best = {c: min(rs, key=lambda r: r["value"]) for c, rs in runs.items()}
+    t_lo, t_hi = best[n_lo]["value"], best[n_hi]["value"]
+    eff = (t_lo / t_hi) / 4.0
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH — throughput + two-parallelism scaling evidence\n\n"
-            "End-to-end dedup (synthesize → signatures → banding/candidates →\n"
-            "verify → connected components) on the identical deterministic\n"
-            f"corpus of {n_clips} clips, local[8] vs local[32] (the sandbox\n"
-            "stand-in for N vs 4N executors; BASELINE.json north_rule).\n\n"
+            "End-to-end dedup (signatures → banding/candidates → verify →\n"
+            "connected components; synthesis excluded) on the identical\n"
+            f"deterministic corpus of {n_clips} clips, local[{n_lo}] vs\n"
+            f"local[{n_hi}] — the sandbox stand-in for N vs 4N executors\n"
+            "(BASELINE.json north_rule). Each Spark task drives a Python\n"
+            "worker process, so (4, 16) keeps both runs inside the host's 32\n"
+            "cores; best of "
+            f"{reps} alternating runs per level (shared-host noise).\n\n"
             "| parallelism | dedup wall (s) | clips/sec |\n|---|---|---|\n"
-            f"| local[8]  | {t8} | {results[8]['clips_per_sec']} |\n"
-            f"| local[32] | {t32} | {results[32]['clips_per_sec']} |\n\n"
-            f"**Scaling efficiency (T_8 / T_32) / 4 = {eff:.3f}** "
+            f"| local[{n_lo}]  | {t_lo} | {best[n_lo]['clips_per_sec']} |\n"
+            f"| local[{n_hi}] | {t_hi} | {best[n_hi]['clips_per_sec']} |\n\n"
+            f"**Scaling efficiency (T_{n_lo} / T_{n_hi}) / 4 = {eff:.3f}** "
             f"(target ≥ 0.8)\n\n"
-            f"Full records:\n```json\n{json.dumps(results, indent=2)}\n```\n"
+            f"All runs:\n```json\n{json.dumps(runs, indent=2)}\n```\n"
         )
-    print(json.dumps({"scaling_efficiency": round(eff, 3), "t8": t8, "t32": t32}))
+    print(json.dumps({"scaling_efficiency": round(eff, 3),
+                      f"t{n_lo}": t_lo, f"t{n_hi}": t_hi}))
 
 
 def main() -> None:
@@ -149,6 +179,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--n-clips", type=int, default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
@@ -157,7 +188,8 @@ def main() -> None:
         run_scaling(args.sf_dir, n_clips=args.n_clips or 20000)
         return
 
-    r = bench_once(args.sf_dir, args.cpus, n_clips=args.n_clips)
+    r = bench_once(args.sf_dir, args.cpus, n_clips=args.n_clips,
+                   shuffle_partitions=args.shuffle_partitions)
     line = {
         "metric": "e2e_dedup_sec",
         "value": r["dedup_sec"],

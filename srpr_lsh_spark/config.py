@@ -60,10 +60,15 @@ class DedupConfig:
         if self.sim_bits > 63:
             raise ValueError("sim_bits must fit a signed int64 bucket key")
 
+    # knobs that change the physical plan but never the result; they must not
+    # invalidate checkpoints (outputs are partitioning-invariant by design)
+    _LAYOUT_FIELDS = ("shuffle_partitions", "cc_max_iters", "input_split_bytes", "extra")
+
     def config_hash(self) -> str:
         """Deterministic 16-hex-digit hash of every semantics-bearing field."""
         d = asdict(self)
-        d.pop("extra", None)
+        for f_ in self._LAYOUT_FIELDS:
+            d.pop(f_, None)
         blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 

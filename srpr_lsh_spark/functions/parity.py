@@ -169,7 +169,7 @@ def q_bucket_probe_join(spark, sf_dir):
 SQL_bucket_probe_join = """
 WITH buckets AS (
   SELECT p_brand, p_size, count(*) AS bucket_n FROM part GROUP BY p_brand, p_size)
-SELECT p.p_brand, count(*) AS cnt, sum(b.bucket_n) AS sum_bucket_n
+SELECT p.p_brand, count(*) AS cnt, CAST(sum(b.bucket_n) AS BIGINT) AS sum_bucket_n
 FROM part p JOIN buckets b ON p.p_brand = b.p_brand AND p.p_size = b.p_size
 WHERE b.bucket_n >= 2
 GROUP BY p.p_brand
@@ -264,7 +264,7 @@ def q_topk_per_group(spark, sf_dir):
         F.col("o_totalprice").desc(), F.col("o_orderkey").desc()
     )
     return (
-        o.withColumn("rnk", F.row_number().over(w))
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "rnk")
     )
@@ -384,7 +384,7 @@ def q_token_count(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
         F.col("n_chars").alias("n_chars"),
     )
 
@@ -459,7 +459,7 @@ def q_language_id(spark, sf_dir):
     toks = F.split("text", " ")
     hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ("the", "a", "of")])))
     return (
-        d.select("lang", hits.alias("stop_hits"))
+        d.select("lang", hits.cast("long").alias("stop_hits"))
         .groupBy("lang", "stop_hits")
         .agg(F.count("*").alias("cnt"))
     )
@@ -530,7 +530,7 @@ def q_embedding_cosine_topk(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id").asc()
     )
-    return sims.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+    return sims.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= 10)
 
 
 SQL_embedding_cosine_topk = """
@@ -544,6 +544,88 @@ SELECT query_id, cand_id, cosine,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY cosine DESC, cand_id ASC) AS rnk
 FROM sims QUALIFY rnk <= 10
+"""
+
+
+def q_id_remap(spark, sf_dir):
+    """Dense-id dictionary build + probe — the reference's user/item remap
+    (src/DataManager.h:79-105) done deterministically with row_number over
+    sorted distinct ids instead of first-sight order."""
+    o = _t(spark, sf_dir, "orders")
+    dim = (
+        o.select("o_custkey").distinct()
+        .withColumn("dense_id", (F.row_number().over(Window.orderBy("o_custkey")) - 1).cast("long"))
+    )
+    return (
+        o.join(dim, "o_custkey")
+        .groupBy((F.col("dense_id") % 7).alias("bucket"))
+        .agg(F.count("*").alias("cnt"), F.min("dense_id").alias("min_id"))
+    )
+
+
+SQL_id_remap = """
+WITH dim AS (
+  SELECT o_custkey, row_number() OVER (ORDER BY o_custkey) - 1 AS dense_id
+  FROM (SELECT DISTINCT o_custkey FROM orders))
+SELECT dense_id % 7 AS bucket, count(*) AS cnt, min(dense_id) AS min_id
+FROM orders JOIN dim USING (o_custkey)
+GROUP BY 1
+"""
+
+
+def q_per_group_cap(spark, sf_dir):
+    """Deterministic per-group cap — the reference's max-triplets-per-user
+    sampling (src/Triplet.h:168-200) with a total-order rank instead of RNG."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    capped = li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return capped.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+SQL_per_group_cap = """
+SELECT l_returnflag, count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+FROM (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+  FROM lineitem)
+WHERE rn <= 3
+GROUP BY l_returnflag
+"""
+
+
+def q_triplet_gen(spark, sf_dir):
+    """Uncapped preference-triplet generation (src/Triplet.h:125-167) over
+    orders-as-ratings: per customer, orient order pairs by totalprice with a
+    minimum-difference predicate."""
+    from srpr_lsh_spark.operators.triplets import generate_triplets
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    t = generate_triplets(
+        o, user_col="o_custkey", item_col="o_orderkey", rating_col="o_totalprice",
+        min_rating_diff=1000.0, max_per_user=None,
+    )
+    return t.groupBy("user_id").agg(
+        F.count("*").alias("n_triplets"),
+        F.min("pos_item").alias("min_pos"),
+        F.max("neg_item").alias("max_neg"),
+    )
+
+
+SQL_triplet_gen = """
+WITH r AS (SELECT o_custkey AS u, o_orderkey AS i, o_totalprice AS p
+           FROM orders WHERE o_custkey % 20 = 0)
+SELECT a.u AS user_id, count(*) AS n_triplets,
+       min(CASE WHEN a.p > b.p THEN a.i ELSE b.i END) AS min_pos,
+       max(CASE WHEN a.p > b.p THEN b.i ELSE a.i END) AS max_neg
+FROM r a JOIN r b ON a.u = b.u AND a.i < b.i
+WHERE abs(a.p - b.p) >= 1000.0
+GROUP BY a.u
 """
 
 
@@ -572,4 +654,7 @@ ORACLE_QUERIES = {
     "language_id": (q_language_id, SQL_language_id),
     "doc_fingerprint": (q_doc_fingerprint, SQL_doc_fingerprint),
     "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_embedding_cosine_topk),
+    "id_remap": (q_id_remap, SQL_id_remap),
+    "per_group_cap": (q_per_group_cap, SQL_per_group_cap),
+    "triplet_gen": (q_triplet_gen, SQL_triplet_gen),
 }

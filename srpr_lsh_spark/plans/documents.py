@@ -86,3 +86,36 @@ def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str, cfg: DedupConfig) 
         emb, queries, id_col="vec_id", vec_col="embedding",
         dim=64, k=10, tables=12, bits=8, seed=cfg.seed,
     )
+
+
+def ann_eval_embeddings(
+    spark: SparkSession, sf_dir: str, cfg: DedupConfig, k: int = 10, n_queries: int = 50
+) -> DataFrame:
+    """The reference's evaluation loop (main.cpp:122-166) end-to-end: LSH
+    retrieval scored against the brute-force cosine oracle — one row of
+    macro-averaged precision/recall/MAP/nDCG@k."""
+    from srpr_lsh_spark.functions.metrics import average_metrics, retrieval_metrics
+    from srpr_lsh_spark.operators.ann import cosine_expr
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < n_queries)
+    # oracle: brute-force cosine top-k with total-order tie-break (main.cpp:36)
+    qv = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cv = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("cv"))
+    sims = (
+        qv.crossJoin(cv)
+        .filter(F.col("query_id") != F.col("item_id"))
+        .select("query_id", "item_id", cosine_expr("qv", "cv").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("item_id").desc())
+    truth = (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "item_id")
+    )
+    lsh = lsh_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding",
+        dim=64, k=k, tables=12, bits=8, seed=cfg.seed,
+    ).select("query_id", F.col("cand_id").alias("item_id"), "rnk")
+    return average_metrics(retrieval_metrics(lsh, truth, k=k))

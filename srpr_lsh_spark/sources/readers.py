@@ -34,3 +34,28 @@ def clips_schema() -> StructType:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-provided parquet table from ``sf_dir``."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ratings_schema() -> StructType:
+    """MovieLens-shaped ratings row (``src/Triplet.h:21-26``)."""
+    from pyspark.sql.types import DoubleType, LongType
+
+    return StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("movie_id", LongType(), False),
+            StructField("rating", DoubleType(), False),
+            StructField("ts", LongType(), True),
+        ]
+    )
+
+
+def read_ratings_csv(
+    spark: SparkSession, path: str, max_ratings: "int | None" = None
+) -> DataFrame:
+    """CSV ratings scan with explicit schema, header handling, and row-limit
+    pushdown — the reference's ``load_movielens_ratings``
+    (``src/Triplet.h:84-122``: positional parse, header skip, stop at
+    ``max_ratings``). ``limit`` plans as LocalLimit and stops the scan."""
+    df = spark.read.schema(ratings_schema()).option("header", "true").csv(path)
+    return df.limit(max_ratings) if max_ratings is not None else df

@@ -59,6 +59,7 @@ def test_rows_only_queries_run(spark):
     oracles = entry_mod.oracle_sql()
     rows_only = [k for k in qs if k not in oracles]
     assert sorted(rows_only) == [
+        "ann_eval",
         "ann_lsh_topk",
         "band_bucket_histogram",
         "minhash_signatures",

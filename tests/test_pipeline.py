@@ -104,6 +104,30 @@ def test_resume_after_partial_run(spark, tmp_path):
     assert res3["skipped"] == []
 
 
+def test_parallelism_invariance(spark, tmp_path):
+    """FIXTURES.md §4.6: identical clusters regardless of partitioning —
+    min-id labels + total-order tie-breaks + seeded hashing make the output a
+    pure function of the data."""
+    params = SynthParams(n_clips=200, block_size=100, seed=44, min_dur_ms=300, max_dur_ms=800)
+    clips, _ = synthesize_clips(spark, params, out_dir=str(tmp_path / "d"))
+    outs = []
+    for i, parts in enumerate((3, 13)):
+        cfg = DedupConfig(shuffle_partitions=parts)
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            res = run_dedup(
+                spark, clips.repartition(parts), cfg,
+                warehouse_dir=str(tmp_path / f"wh{i}"), resume=False,
+            )
+            outs.append(
+                {r["clip_id"]: r["cluster_id"] for r in res["clusters"].collect()}
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert outs[0] == outs[1]
+
+
 def test_verified_pair_evidence_columns(result):
     res, *_ = result
     vp = res["verified_pairs"].toPandas()

@@ -1,0 +1,105 @@
+"""Reference-shaped micro-fixtures (FIXTURES.md §3): pin the reference's
+behaviors with hand-checked expectations."""
+
+import math
+
+import numpy as np
+import pytest
+
+from srpr_lsh_spark.functions.metrics import average_metrics, retrieval_metrics
+from srpr_lsh_spark.kernels.hashing import srp_keys, srp_planes
+from srpr_lsh_spark.operators.triplets import generate_triplets
+
+
+class TestTripletsMicro:
+    """ratings_micro — src/Triplet.h:155-172 semantics."""
+
+    def _ratings(self, spark):
+        rows = [
+            (1, 1, 5.0), (1, 2, 3.0), (1, 3, 4.5),   # 3 pairs, all |Δ|>=0.5
+            (2, 9, 4.0),                               # <2 ratings → dropped
+            (3, 7, 4.0), (3, 8, 4.0),                  # Δ=0 < 0.5 → no triplet
+        ]
+        return spark.createDataFrame(rows, ["user_id", "item_id", "rating"])
+
+    def test_orientation_and_threshold(self, spark):
+        t = generate_triplets(self._ratings(spark), max_per_user=None)
+        got = {(r["user_id"], r["pos_item"], r["neg_item"]) for r in t.collect()}
+        assert got == {(1, 1, 2), (1, 1, 3), (1, 3, 2)}
+
+    def test_cap_is_deterministic(self, spark):
+        r = self._ratings(spark)
+        t1 = {(x["user_id"], x["pos_item"], x["neg_item"])
+              for x in generate_triplets(r, max_per_user=2).collect()}
+        t2 = {(x["user_id"], x["pos_item"], x["neg_item"])
+              for x in generate_triplets(r.repartition(5), max_per_user=2).collect()}
+        assert t1 == t2 and len(t1) == 2
+        full = {(1, 1, 2), (1, 1, 3), (1, 3, 2)}
+        assert t1 <= full
+
+
+class TestMetricsMicro:
+    """metrics_micro — src/MetricsCalculator.h:81-184 hand computation."""
+
+    def test_single_query_values(self, spark):
+        truth = spark.createDataFrame(
+            [(0, i) for i in (1, 2, 3, 4, 5)], ["query_id", "item_id"]
+        )
+        results = spark.createDataFrame(
+            [(0, 1, 1), (0, 9, 2), (0, 3, 3), (0, 8, 4), (0, 5, 5)],
+            ["query_id", "item_id", "rnk"],
+        )
+        m = retrieval_metrics(results, truth, k=5).collect()[0]
+        assert m["precision_at_k"] == pytest.approx(3 / 5)
+        assert m["recall_at_k"] == pytest.approx(3 / 5)
+        # hits at ranks 1,3,5 → AP = (1 + 2/3 + 3/5)/5
+        assert m["ap_at_k"] == pytest.approx((1 + 2 / 3 + 3 / 5) / 5)
+        dcg = 1 / math.log2(2) + 1 / math.log2(4) + 1 / math.log2(6)
+        idcg = sum(1 / math.log2(i + 1) for i in range(1, 6))
+        assert m["ndcg_at_k"] == pytest.approx(dcg / idcg)
+
+    def test_perfect_retrieval(self, spark):
+        truth = spark.createDataFrame([(0, i) for i in range(5)], ["query_id", "item_id"])
+        results = spark.createDataFrame(
+            [(0, i, i + 1) for i in range(5)], ["query_id", "item_id", "rnk"]
+        )
+        avg = average_metrics(retrieval_metrics(results, truth, k=5)).collect()[0]
+        assert avg["avg_precision"] == 1.0
+        assert avg["avg_recall"] == 1.0
+        assert avg["map_at_k"] == 1.0
+        assert avg["avg_ndcg"] == 1.0
+        assert avg["n_queries"] == 1
+
+
+class TestVectorsMicro:
+    """vectors_micro — SRP hash bits vs hand-computed hyperplane signs
+    (src/plane.h:16-22, src/lsh.h:65-73)."""
+
+    def test_keys_match_manual_signs(self):
+        planes = srp_planes(4, tables=2, bits=8, seed=42)
+        x = np.random.default_rng(7).standard_normal((8, 4)).astype(np.float32)
+        keys = srp_keys(x, planes, tables=2, bits=8)
+        signs = (x @ planes.T) >= 0  # (8, 16)
+        for row in range(8):
+            for t in range(2):
+                bits = signs[row, t * 8 : (t + 1) * 8]
+                manual = int("".join("1" if b else "0" for b in bits), 2)
+                assert keys[row, t] == manual
+
+
+class TestCsvScan:
+    """CSV scan with schema + row-limit pushdown (src/Triplet.h:84-122)."""
+
+    def test_read_with_limit(self, spark, tmp_path):
+        from srpr_lsh_spark.sources.readers import read_ratings_csv
+
+        p = tmp_path / "ratings.csv"
+        p.write_text(
+            "userId,movieId,rating,timestamp\n"
+            + "\n".join(f"{u},{m},{3.5},{1000+u}" for u in range(10) for m in range(3))
+        )
+        df = read_ratings_csv(spark, str(p), max_ratings=7)
+        assert df.count() == 7
+        assert df.schema["rating"].dataType.typeName() == "double"
+        full = read_ratings_csv(spark, str(p))
+        assert full.count() == 30
