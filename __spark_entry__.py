@@ -30,11 +30,16 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full near-dup pipeline (MinHash + SimHash + substring +
     exact short-circuit → verified pairs → connected components) on a small
     deterministic clips corpus; returns the non-singleton clusters."""
+    from srpr_lsh_spark.sources.synth import SYNTH_VERSION
+
     params = SynthParams(n_clips=400, block_size=100, seed=42,
                          min_dur_ms=300, max_dur_ms=1200)
     wh_root = os.environ.get("SPARK_GRAFT_WH", "/tmp/srpr_lsh_spark_entry")
-    clips, _oracle = synthesize_clips(spark, params, out_dir=f"{wh_root}/data")
-    res = run_dedup(spark, clips, _CFG, warehouse_dir=f"{wh_root}/wh")
+    # key the cache dir on synth version + config so a generator or config
+    # change can never resume against a stale corpus
+    tag = f"v{SYNTH_VERSION}_{_CFG.config_hash()}"
+    clips, _oracle = synthesize_clips(spark, params, out_dir=f"{wh_root}/data_{tag}")
+    res = run_dedup(spark, clips, _CFG, warehouse_dir=f"{wh_root}/wh_{tag}")
     clusters = res["clusters"]
     sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return (

@@ -67,12 +67,44 @@ def _session(cpus: int, shuffle_partitions: "int | None" = None):
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the verify-stage lookup sides (fingerprints/sketches) are tens of MB
+        # at bench scale — broadcasting them removes the candidate-pair
+        # shuffles; at petabyte scale AQE falls back to SMJ on its own
+        .config("spark.sql.autoBroadcastJoinThreshold", "128m")
         .config("spark.driver.memory", "24g")
         .config("spark.local.dir", os.path.join(_scratch_dir(), f"spark_local_{cpus}"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
+
+
+def _pair_quality(clusters_df, oracle_df) -> dict:
+    """Cluster-level dup-pair recall/precision vs the planted oracle."""
+    import pandas as pd
+
+    got = clusters_df.toPandas()
+    want = oracle_df.select("clip_id", "cluster_id").toPandas()
+
+    def pairs(df):
+        out = set()
+        for _, grp in df.groupby("cluster_id"):
+            ids = sorted(grp["clip_id"])
+            if len(ids) < 2:
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out.add((ids[i], ids[j]))
+        return out
+
+    gp, wp = pairs(got), pairs(want)
+    recall = 1 - len(wp - gp) / max(len(wp), 1)
+    precision = 1 - len(gp - wp) / max(len(gp), 1)
+    return {
+        "dup_pair_recall": round(recall, 5),
+        "dup_pair_precision": round(precision, 5),
+        "oracle_pairs": len(wp),
+    }
 
 
 def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
@@ -95,7 +127,7 @@ def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
     out: dict = {"sf": sf, "cpus": cpus, "n_clips": n_clips}
     try:
         t0 = time.time()
-        clips, _ = synthesize_clips(spark, params, out_dir=f"{tmp}/data")
+        clips, oracle = synthesize_clips(spark, params, out_dir=f"{tmp}/data")
         out["synth_sec"] = round(time.time() - t0, 2)
 
         t0 = time.time()
@@ -105,6 +137,9 @@ def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
         out["dedup_sec"] = round(dedup_sec, 2)
         out["clips_per_sec"] = round(n_clips / dedup_sec, 1)
         out["n_clusters"] = n_clusters
+        # BASELINE.json acceptance metric: dup-pair recall / precision vs the
+        # planted oracle clusters (computed outside the timed window)
+        out.update(_pair_quality(res["clusters"], oracle))
 
         # relational queries at the driver's sf dir
         import __spark_entry__ as em
@@ -201,6 +236,8 @@ def main() -> None:
         "cpus": r["cpus"],
         "synth_sec": r["synth_sec"],
         "n_clusters": r["n_clusters"],
+        "dup_pair_recall": r.get("dup_pair_recall"),
+        "dup_pair_precision": r.get("dup_pair_precision"),
     }
     print(json.dumps(line))
 

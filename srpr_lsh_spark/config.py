@@ -23,11 +23,13 @@ class DedupConfig:
     rows: int = 4               # r
     jaccard_threshold: float = 0.8   # exact-verify acceptance
     # --- SimHash / SRP (audio fingerprint path) ---
-    # Mirrors the reference's (L tables, b bits) scheme: main.cpp:64-65 uses
-    # L=12, b=6; we default to the same table count with more bits because
-    # fingerprints of true near-dups are nearly parallel (cos ≈ 1).
-    sim_tables: int = 12        # L
-    sim_bits: int = 24          # b per table (packed into one int64 key)
+    # L tables x b bits (packed into one int64 key per table). The reference
+    # uses L=12, b=6 over learned 32-d vectors (main.cpp:64-65); audio
+    # fingerprints of true duplicates are nearly parallel (cos >= 0.9995 at
+    # the 30 dB SNR acceptance bound), so far wider tables keep audio-path
+    # recall >= 0.999 while cutting accidental near-parallel candidates ~20x.
+    sim_tables: int = 8         # L
+    sim_bits: int = 40          # b per table
     fingerprint_dim: int = 32   # D — matches the reference embedding dim (main.cpp:62)
     cosine_threshold: float = 0.997  # exact-verify acceptance on fingerprints
     snr_db_threshold: float = 30.0   # decoded-PCM pair SNR acceptance (input_hint)
@@ -48,7 +50,7 @@ class DedupConfig:
     # input split size for the decode/signature scan: audio rows are wide, the
     # UDF is CPU-bound, so splits should be small enough to use every core
     # (bytes are NEVER shuffled to fix parallelism — SURVEY §7.3.5)
-    input_split_bytes: int = 4 << 20
+    input_split_bytes: int = 32 << 20
     extra: dict = field(default_factory=dict, compare=False)
 
     def __post_init__(self) -> None:

@@ -547,6 +547,40 @@ FROM sims QUALIFY rnk <= 10
 """
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (training-data dedup op):
+    all pairs with cosine ≥ 0.5 among the first 100 vectors."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0), lambda acc, v: acc + v)
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot / (nrm("va") * nrm("vb")), 4).alias("cosine"))
+        .filter(F.col("cosine") >= 0.5)
+    )
+
+
+SQL_embedding_near_dup = """
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.embedding, b.embedding) /
+               (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 100 AND b.vec_id < 100)
+WHERE cosine >= 0.5
+"""
+
+
 def q_id_remap(spark, sf_dir):
     """Dense-id dictionary build + probe — the reference's user/item remap
     (src/DataManager.h:79-105) done deterministically with row_number over
@@ -654,6 +688,7 @@ ORACLE_QUERIES = {
     "language_id": (q_language_id, SQL_language_id),
     "doc_fingerprint": (q_doc_fingerprint, SQL_doc_fingerprint),
     "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_embedding_cosine_topk),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_embedding_near_dup),
     "id_remap": (q_id_remap, SQL_id_remap),
     "per_group_cap": (q_per_group_cap, SQL_per_group_cap),
     "triplet_gen": (q_triplet_gen, SQL_triplet_gen),

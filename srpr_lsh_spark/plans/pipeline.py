@@ -24,9 +24,8 @@ from srpr_lsh_spark.config import DedupConfig
 from srpr_lsh_spark.operators.banding import (
     SOURCE_MINHASH,
     SOURCE_SIMHASH,
-    candidate_pairs,
     exact_content_edges,
-    explode_bands,
+    space_candidates,
 )
 from srpr_lsh_spark.operators.components import connected_components
 from srpr_lsh_spark.operators.signatures import compute_signatures
@@ -78,12 +77,12 @@ def run_dedup(
         return out
 
     def build_candidates() -> DataFrame:
-        bands = explode_bands(sigs, cfg)
-        near = candidate_pairs(bands, cfg)  # both spaces; source column kept
+        mh = space_candidates(sigs, cfg, SOURCE_MINHASH)
+        sh = space_candidates(sigs, cfg, SOURCE_SIMHASH)
         sub = containment_candidates(clips, sigs, cfg).select(
             F.col("short").alias("a"), F.col("long").alias("b"), F.lit("substr").alias("source")
         )
-        return near.unionByName(sub)
+        return mh.unionByName(sh).unionByName(sub)
 
     cands, sk = wh.stage("candidates", build_candidates)
     note("candidates", sk)

@@ -42,6 +42,10 @@ SKEW_A_CLUSTER = "skewA"
 _SKEW_A_SR = 16000
 _SKEW_A_DUR_MS = 1000
 
+# bump when generated content changes: consumers that key caches on synth
+# parameters must also key on this (e.g. __spark_entry__'s warehouse path)
+SYNTH_VERSION = 2
+
 
 @dataclass(frozen=True)
 class SynthParams:
@@ -113,9 +117,20 @@ def plan_block(block_id: int, params: SynthParams) -> "list[dict]":
 def _base_audio(rng: np.random.Generator, sr: int, n_samp: int) -> np.ndarray:
     t = np.arange(n_samp, dtype=np.float64) / sr
     sig = np.zeros(n_samp)
+    # 2-4 dominant partials + a bed of weak partials: the weak bed gives every
+    # clip a distinctive spectral fine structure (real audio is broadband), so
+    # two different clips that happen to share dominant bands still have
+    # fingerprint cosine well below the duplicate threshold — without it an
+    # all-sinusoid corpus makes O(n²) "spectrum twins" (adversarially clean
+    # spectra), which is the skew rows' job to test, not the whole corpus's.
     for _ in range(int(rng.integers(2, 5))):
         f = float(rng.uniform(100.0, min(3500.0, sr / 2 - 200)))
         a = float(rng.uniform(0.08, 0.25))
+        ph = float(rng.uniform(0, 2 * np.pi))
+        sig += a * np.sin(2 * np.pi * f * t + ph)
+    for _ in range(16):
+        f = float(rng.uniform(80.0, min(3800.0, sr / 2 - 100)))
+        a = float(rng.uniform(0.02, 0.05))
         ph = float(rng.uniform(0, 2 * np.pi))
         sig += a * np.sin(2 * np.pi * f * t + ph)
     sig += rng.standard_normal(n_samp) * 1e-4  # clean-ish noise floor
