@@ -7,13 +7,19 @@ checkpointing and lineage.
 """
 
 from srpr_lsh_spark.operators.signatures import compute_signatures, signatures_schema
-from srpr_lsh_spark.operators.banding import explode_bands, candidate_pairs, exact_content_edges
+from srpr_lsh_spark.operators.banding import (
+    candidate_pairs,
+    exact_content_edges,
+    explode_bands,
+    space_candidates,
+)
 from srpr_lsh_spark.operators.verify import verify_text_pairs, verify_audio_pairs
 from srpr_lsh_spark.operators.substring import containment_candidates, verify_containment
 from srpr_lsh_spark.operators.components import connected_components
 
 __all__ = [
     "candidate_pairs",
+    "space_candidates",
     "compute_signatures",
     "connected_components",
     "containment_candidates",
