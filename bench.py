@@ -216,11 +216,12 @@ def main() -> None:
     ap.add_argument("--n-clips", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
     if args.scaling:
-        run_scaling(args.sf_dir, n_clips=args.n_clips or 20000)
+        run_scaling(args.sf_dir, n_clips=args.n_clips or 20000, reps=args.reps)
         return
 
     r = bench_once(args.sf_dir, args.cpus, n_clips=args.n_clips,
