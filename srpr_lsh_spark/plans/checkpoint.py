@@ -74,14 +74,14 @@ class Warehouse:
         os.rename(tmp, final)
         out = self.spark.read.parquet(final)
         ms = int((time.time() - t0) * 1000)
-        self._record_lineage(stage, out, ms, rows_in)
+        n_rows = self._record_lineage(stage, out, ms, rows_in)
         with open(self._manifest_path(stage), "w") as f:
             json.dump(
                 {
                     "stage": stage,
                     "status": "complete",
                     "config_hash": self.config_hash,
-                    "rows": out.count(),
+                    "rows": n_rows,
                     "schema": out.schema.jsonValue(),
                     "run_id": self.run_id,
                     "written_at": time.time(),
@@ -93,17 +93,26 @@ class Warehouse:
         return out
 
     def _record_lineage(self, stage: str, out: DataFrame, ms: int, rows_in: "int | None"):
-        lin = (
-            out.groupBy(F.input_file_name().alias("partition_file"))
-            .agg(F.count("*").alias("rows_out"))
-            .withColumn("stage", F.lit(stage))
-            .withColumn("ms", F.lit(ms))
-            .withColumn("rows_in", F.lit(rows_in).cast("long"))
-            .withColumn("config_hash", F.lit(self.config_hash))
-            .withColumn("run_id", F.lit(self.run_id))
-            .withColumn("written_at", F.current_timestamp())
-        )
-        lin.write.mode("append").parquet(os.path.join(self.root, "lineage"))
+        # per-partition row counts come from the parquet footers (metadata
+        # only — no second scan of the stage output). With an Iceberg catalog
+        # this is the snapshot's per-file metrics; same content either way.
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(self._dir(stage), "part-*")))
+        rows = [
+            (stage, os.path.basename(f), pq.ParquetFile(f).metadata.num_rows, ms,
+             rows_in, self.config_hash, self.run_id)
+            for f in files
+        ]
+        lin = self.spark.createDataFrame(
+            rows,
+            "stage string, partition_file string, rows_out long, ms long, "
+            "rows_in long, config_hash string, run_id string",
+        ).withColumn("written_at", F.current_timestamp())
+        lin.coalesce(1).write.mode("append").parquet(os.path.join(self.root, "lineage"))
+        return sum(r[2] for r in rows)
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "lineage"))
