@@ -1,0 +1,86 @@
+"""Experiment sweeps — the reference's ``data_collection`` binaries
+(``speedup.cpp:45-119``, ``recall.cpp:43-108``, ``nRecall.cpp:43-109``) as one
+parameterized harness: for each SRP ``bits`` config, rebuild the LSH index
+over the embeddings table, retrieve top-k per query, and score against the
+brute-force cosine oracle; emit one row per (bits, k) with quality metrics
+and the measured speedup proxy (candidate volume vs exhaustive scan — the
+single-node ms-timings of the reference translate to scan-volume ratios in a
+distributed engine).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from srpr_lsh_spark.functions.metrics import average_metrics, retrieval_metrics
+from srpr_lsh_spark.operators.ann import cosine_expr, lsh_topk
+
+
+def sweep_bits(
+    spark: SparkSession,
+    sf_dir: str,
+    bits_grid: "tuple[int, ...]" = (4, 8, 12, 16),
+    k_grid: "tuple[int, ...]" = (5, 10),
+    tables: int = 12,
+    n_queries: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """→ one row per (bits, k): avg precision/recall/MAP/nDCG + scan ratio."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    n_items = emb.count()
+    queries = emb.filter(F.col("vec_id") < n_queries).cache()
+
+    # brute-force oracle once per k (reference: main.cpp:29-44; tie-break :36)
+    qv = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cv = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("cv"))
+    sims = (
+        qv.crossJoin(cv)
+        .filter(F.col("query_id") != F.col("item_id"))
+        .select("query_id", "item_id", cosine_expr("qv", "cv").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("item_id").desc())
+    ranked_oracle = sims.withColumn("rnk", F.row_number().over(w)).cache()
+    ranked_oracle.count()
+
+    from srpr_lsh_spark.operators.ann import _with_srp_keys
+
+    rows = []
+    for bits in bits_grid:
+        t0 = time.time()
+        lsh = lsh_topk(
+            emb, queries, id_col="vec_id", vec_col="embedding", dim=64,
+            k=max(k_grid), tables=tables, bits=bits, seed=seed,
+        ).cache()
+        lsh.count()
+        lsh_sec = time.time() - t0
+        # candidate volume actually re-ranked (the speedup proxy: fraction of
+        # the exhaustive scan the LSH index replaces — speedup.cpp:103-113)
+        ka = _with_srp_keys(emb, "embedding", "vec_id", 64, tables, bits, seed)
+        kq = _with_srp_keys(queries, "embedding", "vec_id", 64, tables, bits, seed)
+        idx = ka.select("id", F.posexplode("keys").alias("t", "key"))
+        qx = kq.select(F.col("id").alias("qid"), F.posexplode("keys").alias("t", "key"))
+        n_scored = (
+            qx.join(idx, ["t", "key"]).filter(F.col("qid") != F.col("id"))
+            .select("qid", "id").distinct().count()
+        )
+        for k in k_grid:
+            truth = ranked_oracle.filter(F.col("rnk") <= k).select("query_id", "item_id")
+            res = lsh.filter(F.col("rnk") <= k).select(
+                "query_id", F.col("cand_id").alias("item_id"), "rnk"
+            )
+            m = average_metrics(retrieval_metrics(res, truth, k=k)).collect()[0]
+            rows.append(
+                (bits, k, tables, float(m["avg_precision"]), float(m["avg_recall"]),
+                 float(m["map_at_k"]), float(m["avg_ndcg"]), int(m["n_queries"]),
+                 round(lsh_sec, 3),
+                 round(n_scored / max(n_queries * (n_items - 1), 1), 6))
+            )
+        lsh.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "bits int, k int, tables int, avg_precision double, avg_recall double, "
+        "map_at_k double, avg_ndcg double, n_queries long, lsh_sec double, "
+        "scan_ratio double",
+    )

@@ -103,3 +103,20 @@ class TestCsvScan:
         assert df.schema["rating"].dataType.typeName() == "double"
         full = read_ratings_csv(spark, str(p))
         assert full.count() == 30
+
+
+class TestSweep:
+    """Experiment-sweep harness — data_collection/{speedup,recall}.cpp parity:
+    recall falls and scan_ratio shrinks as bits grow."""
+
+    def test_bits_tradeoff(self, spark):
+        from srpr_lsh_spark.plans.sweep import sweep_bits
+
+        df = sweep_bits(
+            spark, "/root/testdata/sf0.001", bits_grid=(4, 12), k_grid=(10,),
+            n_queries=15,
+        ).toPandas().sort_values("bits").reset_index(drop=True)
+        assert len(df) == 2
+        assert df.loc[0, "avg_recall"] > df.loc[1, "avg_recall"]
+        assert df.loc[0, "scan_ratio"] > df.loc[1, "scan_ratio"]
+        assert (df["avg_ndcg"] >= df["avg_recall"] - 1e-9).all()
