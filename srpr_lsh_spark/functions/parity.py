@@ -135,9 +135,11 @@ GROUP BY n_name
 
 
 def q_left_anti(spark, sf_dir):
-    """Anti-join — the resume-skip primitive (SURVEY §2.6)."""
+    """Anti-join — the resume-skip primitive (SURVEY §2.6). Anti-joins against
+    the high-value-order subset so the result is non-trivial at every sf
+    (every customer has *some* order in this corpus)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -148,7 +150,8 @@ def q_left_anti(spark, sf_dir):
 SQL_left_anti = """
 SELECT c_mktsegment, count(*) AS cnt
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
 GROUP BY c_mktsegment
 """
 
@@ -235,17 +238,19 @@ FROM events GROUP BY event_type
 
 def q_hourly_rollup(spark, sf_dir):
     """Time-bucketed aggregation over the events table (batch, no streaming —
-    SURVEY §2.8)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    SURVEY §2.8). Buckets on epoch-hours (a long) so the query is
+    timezone-independent — no session-conf mutation inside a query builder."""
     e = _t(spark, sf_dir, "events")
     return (
-        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        e.groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).alias("epoch_hour"), "event_type"
+        )
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
 
 
 SQL_hourly_rollup = """
-SELECT date_trunc('hour', ts) AS hour, event_type,
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS epoch_hour, event_type,
        count(*) AS cnt, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
 """
@@ -420,8 +425,10 @@ FROM documents GROUP BY source
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Word-set Jaccard of adjacent same-source doc pairs — the exact-verify
-    kernel in its SQL-expressible form."""
+    """Word-set Jaccard of nearby same-source doc pairs — the exact-verify
+    kernel in its SQL-expressible form. The 20-id window bounds the pair count
+    at O(n·20) while producing non-trivial output at every sf (same-source
+    docs are never id-adjacent in this corpus)."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("words")
     )
@@ -430,7 +437,8 @@ def q_ngram_jaccard(spark, sf_dir):
     pairs = a.join(
         b,
         (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") + 1 == F.col("b.doc_id")),
+        & (F.col("b.doc_id") > F.col("a.doc_id"))
+        & (F.col("b.doc_id") <= F.col("a.doc_id") + 20),
     )
     inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
     union = F.size(F.array_union(F.col("a.words"), F.col("b.words")))
@@ -448,7 +456,8 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(len(list_intersect(a.words, b.words)) * 1.0 /
              (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))), 4)
          AS jaccard
-FROM w a JOIN w b ON a.source = b.source AND a.doc_id + 1 = b.doc_id
+FROM w a JOIN w b ON a.source = b.source
+  AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
 """
 
 
@@ -549,7 +558,7 @@ FROM sims QUALIFY rnk <= 10
 
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (training-data dedup op):
-    all pairs with cosine ≥ 0.5 among the first 100 vectors."""
+    all pairs with cosine ≥ 0.2 among the first 100 vectors."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
@@ -565,7 +574,7 @@ def q_embedding_near_dup(spark, sf_dir):
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(dot / (nrm("va") * nrm("vb")), 4).alias("cosine"))
-        .filter(F.col("cosine") >= 0.5)
+        .filter(F.col("cosine") >= 0.2)
     )
 
 
@@ -577,7 +586,7 @@ SELECT id_a, id_b, cosine FROM (
                 sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
   WHERE a.vec_id < 100 AND b.vec_id < 100)
-WHERE cosine >= 0.5
+WHERE cosine >= 0.2
 """
 
 
