@@ -1,11 +1,21 @@
 """Retrieval-quality metrics — the reference's ``MetricsCalculator``
 (``src/MetricsCalculator.h:81-258``) as DataFrame aggregations.
 
-Given a ranked result list and a ranked ground-truth list per query, computes
-precision@k, recall@k, AP@k, nDCG@k (binary relevance = membership in the
-truth set, the reference's convention) and macro-averages over queries — the
+Given a ranked result list and a ground-truth list per query, computes
+precision@k, recall@k, AP@k, nDCG@k and macro-averages over queries — the
 accumulate-then-average loops of ``print_average_metrics`` become one
 ``groupBy().avg()``.
+
+Reference-parity notes:
+
+- queries with an EMPTY result list still count (zero metrics), matching the
+  reference's push of a zero entry per test user (``MetricsCalculator.h:142-145``)
+  — the per-query frame is left-joined back onto the full truth query set;
+- AP divides by the number of hits, the reference's denominator
+  (``MetricsCalculator.h:168``), not by min(n_truth, k);
+- relevance is binary (membership in the truth set) unless ``truth`` carries a
+  ``rel`` column, in which case DCG/IDCG use graded relevance like the
+  reference's rating-graded ``calculate_dcg`` (``MetricsCalculator.h:89-113``).
 """
 
 from __future__ import annotations
@@ -21,57 +31,82 @@ def retrieval_metrics(
     """Per-query metrics.
 
     ``results``: (query_id, item_id, rnk) — ranked retrieval output (rnk 1-based)
-    ``truth``:   (query_id, item_id) — ground-truth set (e.g. brute-force top-k)
-    Returns one row per query: precision_at_k, recall_at_k, ap_at_k, ndcg_at_k.
+    ``truth``:   (query_id, item_id[, rel]) — ground-truth set (e.g. brute-force
+                 top-k), optionally with a graded-relevance column ``rel``
+    Returns one row per TRUTH query (queries with no retrieved rows score 0):
+    precision_at_k, recall_at_k, ap_at_k, ndcg_at_k.
     """
+    graded = "rel" in truth.columns
+    rel_col = F.col("rel").cast("double") if graded else F.lit(1.0)
+    t = truth.select("query_id", "item_id", rel_col.alias("rel"))
+
     res = results.filter(F.col("rnk") <= k)
-    hit = res.join(
-        truth.withColumn("is_rel", F.lit(1)), ["query_id", "item_id"], "left"
-    ).select(
-        "query_id", "rnk", F.coalesce("is_rel", F.lit(0)).alias("rel")
+    hit = res.join(t, ["query_id", "item_id"], "left").select(
+        "query_id",
+        "rnk",
+        F.coalesce("rel", F.lit(0.0)).alias("rel"),
     )
     w = (
         Window.partitionBy("query_id")
         .orderBy("rnk")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # cumulative hits → precision@i at every rank (MetricsCalculator.h:153-172)
-    cum = hit.withColumn("cum_hits", F.sum("rel").over(w))
+    # cumulative hits → precision@i at every rank (MetricsCalculator.h:153-172);
+    # hit/precision counting stays binary even under graded DCG, matching the
+    # reference (relevance grades only enter the DCG terms)
+    is_hit = F.when(F.col("rel") > 0, 1).otherwise(0)
+    cum = hit.withColumn("is_hit", is_hit).withColumn(
+        "cum_hits", F.sum("is_hit").over(w)
+    )
     per_rank = cum.select(
         "query_id",
         "rnk",
-        "rel",
+        "is_hit",
         (F.col("cum_hits") / F.col("rnk")).alias("prec_at_i"),
         (F.col("rel") / F.log2(F.col("rnk") + 1)).alias("dcg_term"),
     )
-    truth_sizes = truth.groupBy("query_id").agg(F.count("*").alias("n_truth"))
-    # ideal DCG for n relevant docs: Σ_{i=1..min(n,k)} 1/log2(i+1)
-    idcg = truth_sizes.select(
-        "query_id",
-        "n_truth",
-        F.aggregate(
-            F.sequence(F.lit(1), F.least(F.col("n_truth"), F.lit(k))),
-            F.lit(0.0),
-            lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
-        ).alias("idcg"),
+    truth_sizes = t.groupBy("query_id").agg(F.count("*").alias("n_truth"))
+    # ideal DCG: truth items sorted by relevance desc, Σ_{i=1..min(n,k)} rel_i/log2(i+1)
+    wt = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("item_id"))
+    idcg = (
+        t.withColumn("pos", F.row_number().over(wt))
+        .filter(F.col("pos") <= k)
+        .groupBy("query_id")
+        .agg(F.sum(F.col("rel") / F.log2(F.col("pos") + 1)).alias("idcg"))
     )
     agg = per_rank.groupBy("query_id").agg(
-        F.sum("rel").alias("hits"),
-        F.count("*").alias("n_ret"),
-        F.sum(F.when(F.col("rel") == 1, F.col("prec_at_i"))).alias("sum_prec_at_hits"),
+        F.sum("is_hit").alias("hits"),
+        F.sum(F.when(F.col("is_hit") == 1, F.col("prec_at_i"))).alias("sum_prec_at_hits"),
         F.sum("dcg_term").alias("dcg"),
     )
-    return (
-        agg.join(idcg, "query_id")
-        .select(
+    per_query = (
+        agg.select(
             "query_id",
             (F.col("hits") / F.lit(k)).alias("precision_at_k"),
-            (F.col("hits") / F.col("n_truth")).alias("recall_at_k"),
-            (
-                F.coalesce(F.col("sum_prec_at_hits"), F.lit(0.0))
-                / F.greatest(F.least(F.col("n_truth"), F.lit(k)), F.lit(1))
-            ).alias("ap_at_k"),
-            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg"))
+            F.col("hits").alias("hits"),
+            # AP = Σ prec@hit / hits — the reference's denominator
+            # (MetricsCalculator.h:168); 0 when nothing relevant was retrieved
+            F.when(
+                F.col("hits") > 0,
+                F.coalesce(F.col("sum_prec_at_hits"), F.lit(0.0)) / F.col("hits"),
+            )
+            .otherwise(0.0)
+            .alias("ap_at_k"),
+            F.col("dcg"),
+        )
+    )
+    # left-join back onto the FULL truth query set: a query whose retrieval
+    # came back empty contributes zeros to the macro averages
+    # (MetricsCalculator.h:142-145), it is not silently dropped
+    return (
+        truth_sizes.join(idcg, "query_id")
+        .join(per_query, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("precision_at_k", F.lit(0.0)).alias("precision_at_k"),
+            (F.coalesce("hits", F.lit(0)) / F.col("n_truth")).alias("recall_at_k"),
+            F.coalesce("ap_at_k", F.lit(0.0)).alias("ap_at_k"),
+            F.when(F.col("idcg") > 0, F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"))
             .otherwise(0.0)
             .alias("ndcg_at_k"),
         )

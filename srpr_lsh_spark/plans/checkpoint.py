@@ -6,37 +6,69 @@ load with a recompute fallback, ``src/MatrixFactorization.h:129-141``) into a
 per-stage table store:
 
 - each stage writes parquet to ``{root}/{stage}`` via a temp-dir + atomic
-  rename, then a ``_manifest.json`` (config hash, row count, schema) is
-  written LAST — a crash at any point leaves either the old complete stage or
-  an incomplete one that will recompute; never a half-read.
-- on resume, a stage with a manifest whose config hash matches is read back
-  instead of recomputed (``left_anti``-style stage skip); a config change
-  invalidates downstream stages exactly like the reference's dims-mismatch
-  retrain fallback.
+  rename; the previous manifest is DELETED before the old data directory is
+  touched, and the new ``_manifest.json`` is written LAST — a crash at any
+  point leaves either the old complete stage or a manifest-less directory
+  that will recompute; a "complete" manifest can never pair with missing or
+  torn data.
+- on resume, a stage with a manifest whose (config hash, input key) both
+  match is read back instead of recomputed; a config change OR a different
+  input invalidates the stage exactly like the reference's dims-mismatch
+  retrain fallback (``MatrixFactorization.h:129-141``).
 - every write appends per-partition lineage rows
   ``(stage, partition_file, rows_out, ms, config_hash, run_id)`` to
   ``{root}/lineage`` (north_rule: per-partition lineage + metrics on every
-  stage). Parquet stands in for Iceberg here; the write discipline (atomic
-  replace, snapshot-per-stage) keeps Iceberg semantics so swapping in
+  stage). Row counts come from the freshly-written parquet footers, and the
+  lineage file itself is written driver-side with pyarrow — metadata only,
+  zero extra Spark jobs per stage (the round-1 version scheduled a
+  createDataFrame→write job per stage; at 4 stages that was a measurable
+  slice of the serial floor). Parquet stands in for Iceberg here; the write
+  discipline (atomic replace, snapshot-per-stage, metrics-from-footers ≈
+  snapshot file stats) keeps Iceberg semantics so swapping in
   ``writeTo(...).createOrReplace()`` is a one-line change per write.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def input_fingerprint(df: DataFrame, explicit: "str | None" = None) -> str:
+    """Cheap input identity for resume keying — no Spark job.
+
+    File-backed plans fingerprint their sorted input-file list (driver-side
+    metadata). In-memory frames (tests, synthetic corpora) have no files;
+    callers must pass an explicit key for those, otherwise resume falls back
+    to config-only keying (the round-1 behavior) with an empty fingerprint.
+    """
+    if explicit is not None:
+        return hashlib.sha256(explicit.encode()).hexdigest()[:16]
+    files = sorted(df.inputFiles())
+    if not files:
+        return ""
+    return hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
 
 
 class Warehouse:
-    def __init__(self, spark: SparkSession, root: str, config_hash: str, resume: bool = True):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        config_hash: str,
+        resume: bool = True,
+        input_key: str = "",
+    ):
         self.spark = spark
         self.root = root
         self.config_hash = config_hash
+        self.input_key = input_key
         self.resume = resume
         self.run_id = uuid.uuid4().hex[:12]
         os.makedirs(root, exist_ok=True)
@@ -58,7 +90,12 @@ class Warehouse:
 
     def is_complete(self, stage: str) -> bool:
         m = self.manifest(stage)
-        return bool(m and m.get("config_hash") == self.config_hash and m.get("status") == "complete")
+        return bool(
+            m
+            and m.get("config_hash") == self.config_hash
+            and m.get("input_key", "") == self.input_key
+            and m.get("status") == "complete"
+        )
 
     # -- io ----------------------------------------------------------------
     def read(self, stage: str) -> DataFrame:
@@ -69,18 +106,25 @@ class Warehouse:
         tmp = self._dir(stage) + ".tmp-" + self.run_id
         final = self._dir(stage)
         df.write.mode("overwrite").parquet(tmp)
+        # invalidate-first ordering: the old manifest dies before the old data
+        # does, so a crash between these steps can never leave a "complete"
+        # manifest pointing at deleted/renamed data
+        mp = self._manifest_path(stage)
+        if os.path.exists(mp):
+            os.remove(mp)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
         out = self.spark.read.parquet(final)
         ms = int((time.time() - t0) * 1000)
-        n_rows = self._record_lineage(stage, out, ms, rows_in)
-        with open(self._manifest_path(stage), "w") as f:
+        n_rows = self._record_lineage(stage, ms, rows_in)
+        with open(mp, "w") as f:
             json.dump(
                 {
                     "stage": stage,
                     "status": "complete",
                     "config_hash": self.config_hash,
+                    "input_key": self.input_key,
                     "rows": n_rows,
                     "schema": out.schema.jsonValue(),
                     "run_id": self.run_id,
@@ -92,27 +136,36 @@ class Warehouse:
             )
         return out
 
-    def _record_lineage(self, stage: str, out: DataFrame, ms: int, rows_in: "int | None"):
+    def _record_lineage(self, stage: str, ms: int, rows_in: "int | None") -> int:
         # per-partition row counts come from the parquet footers (metadata
-        # only — no second scan of the stage output). With an Iceberg catalog
-        # this is the snapshot's per-file metrics; same content either way.
+        # only — no second scan), and the lineage rows are appended with a
+        # plain pyarrow write on the driver — no Spark job. With an Iceberg
+        # catalog this is the snapshot's per-file metrics; same content.
         import glob
 
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         files = sorted(glob.glob(os.path.join(self._dir(stage), "part-*")))
-        rows = [
-            (stage, os.path.basename(f), pq.ParquetFile(f).metadata.num_rows, ms,
-             rows_in, self.config_hash, self.run_id)
-            for f in files
-        ]
-        lin = self.spark.createDataFrame(
-            rows,
-            "stage string, partition_file string, rows_out long, ms long, "
-            "rows_in long, config_hash string, run_id string",
-        ).withColumn("written_at", F.current_timestamp())
-        lin.coalesce(1).write.mode("append").parquet(os.path.join(self.root, "lineage"))
-        return sum(r[2] for r in rows)
+        counts = [pq.ParquetFile(f).metadata.num_rows for f in files]
+        n = len(files)
+        tbl = pa.table(
+            {
+                "stage": pa.array([stage] * n, pa.string()),
+                "partition_file": pa.array([os.path.basename(f) for f in files], pa.string()),
+                "rows_out": pa.array(counts, pa.int64()),
+                "ms": pa.array([ms] * n, pa.int64()),
+                "rows_in": pa.array([rows_in] * n, pa.int64()),
+                "config_hash": pa.array([self.config_hash] * n, pa.string()),
+                "run_id": pa.array([self.run_id] * n, pa.string()),
+                "written_at": pa.array([int(time.time() * 1_000_000)] * n,
+                                       pa.timestamp("us")),
+            }
+        )
+        lin_dir = os.path.join(self.root, "lineage")
+        os.makedirs(lin_dir, exist_ok=True)
+        pq.write_table(tbl, os.path.join(lin_dir, f"part-{self.run_id}-{stage}.parquet"))
+        return sum(counts)
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "lineage"))

@@ -31,7 +31,7 @@ from srpr_lsh_spark.operators.components import connected_components
 from srpr_lsh_spark.operators.signatures import compute_signatures
 from srpr_lsh_spark.operators.substring import containment_candidates, verify_containment
 from srpr_lsh_spark.operators.verify import verify_audio_pairs, verify_text_pairs
-from srpr_lsh_spark.plans.checkpoint import Warehouse
+from srpr_lsh_spark.plans.checkpoint import Warehouse, input_fingerprint
 
 STAGES = ("signatures", "candidates", "verified_pairs", "clusters")
 
@@ -51,10 +51,19 @@ def run_dedup(
     warehouse_dir: str,
     resume: bool = True,
     stop_after: "str | None" = None,
+    input_key: "str | None" = None,
 ) -> dict:
     """Run (or resume) the pipeline. Returns dict with stage DataFrames and
-    ``skipped`` — the list of stages restored from checkpoints."""
-    wh = Warehouse(spark, warehouse_dir, cfg.config_hash(), resume=resume)
+    ``skipped`` — the list of stages restored from checkpoints.
+
+    Resume is keyed by (config hash, input identity): file-backed ``clips``
+    fingerprint their input-file list automatically; in-memory frames should
+    pass an explicit ``input_key`` so the same warehouse dir can never serve
+    stale stages for a different corpus."""
+    wh = Warehouse(
+        spark, warehouse_dir, cfg.config_hash(), resume=resume,
+        input_key=input_fingerprint(clips, explicit=input_key),
+    )
     out: dict = {"warehouse": wh, "skipped": []}
 
     def note(name, skipped):

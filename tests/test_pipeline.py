@@ -104,6 +104,22 @@ def test_resume_after_partial_run(spark, tmp_path):
     assert res3["skipped"] == []
 
 
+def test_resume_invalidated_by_different_input(spark, tmp_path):
+    """Same warehouse dir + same config but a DIFFERENT corpus must not serve
+    stale stage outputs (resume is keyed by input identity, not just config)."""
+    params_a = SynthParams(n_clips=200, block_size=100, seed=45, min_dur_ms=300, max_dur_ms=800)
+    params_b = SynthParams(n_clips=200, block_size=100, seed=46, min_dur_ms=300, max_dur_ms=800)
+    clips_a, _ = synthesize_clips(spark, params_a, out_dir=str(tmp_path / "da"))
+    clips_b, _ = synthesize_clips(spark, params_b, out_dir=str(tmp_path / "db"))
+    wdir = str(tmp_path / "wh")
+    run_dedup(spark, clips_a, CFG, warehouse_dir=wdir, stop_after="signatures")
+    res_b = run_dedup(spark, clips_b, CFG, warehouse_dir=wdir, stop_after="signatures")
+    assert res_b["skipped"] == []
+    sigs_ids = {r["clip_id"] for r in res_b["signatures"].select("clip_id").collect()}
+    clips_b_ids = {r["clip_id"] for r in clips_b.select("clip_id").collect()}
+    assert sigs_ids == clips_b_ids
+
+
 def test_parallelism_invariance(spark, tmp_path):
     """FIXTURES.md §4.6: identical clusters regardless of partitioning —
     min-id labels + total-order tie-breaks + seeded hashing make the output a

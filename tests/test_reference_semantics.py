@@ -52,11 +52,47 @@ class TestMetricsMicro:
         m = retrieval_metrics(results, truth, k=5).collect()[0]
         assert m["precision_at_k"] == pytest.approx(3 / 5)
         assert m["recall_at_k"] == pytest.approx(3 / 5)
-        # hits at ranks 1,3,5 → AP = (1 + 2/3 + 3/5)/5
-        assert m["ap_at_k"] == pytest.approx((1 + 2 / 3 + 3 / 5) / 5)
+        # hits at ranks 1,3,5 → AP = (1 + 2/3 + 3/5)/3 — the reference divides
+        # by the hit count (MetricsCalculator.h:168), not min(n_truth, k)
+        assert m["ap_at_k"] == pytest.approx((1 + 2 / 3 + 3 / 5) / 3)
         dcg = 1 / math.log2(2) + 1 / math.log2(4) + 1 / math.log2(6)
         idcg = sum(1 / math.log2(i + 1) for i in range(1, 6))
         assert m["ndcg_at_k"] == pytest.approx(dcg / idcg)
+
+    def test_empty_result_query_scores_zero(self, spark):
+        """A query whose retrieval returns nothing still counts in the macro
+        averages with zero metrics (MetricsCalculator.h:142-145)."""
+        truth = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 1), (1, 2)], ["query_id", "item_id"]
+        )
+        results = spark.createDataFrame(  # query 1 retrieves nothing
+            [(0, 1, 1), (0, 2, 2)], ["query_id", "item_id", "rnk"]
+        )
+        per_q = retrieval_metrics(results, truth, k=2)
+        rows = {r["query_id"]: r for r in per_q.collect()}
+        assert set(rows) == {0, 1}
+        assert rows[1]["precision_at_k"] == 0.0
+        assert rows[1]["recall_at_k"] == 0.0
+        assert rows[1]["ap_at_k"] == 0.0
+        assert rows[1]["ndcg_at_k"] == 0.0
+        avg = average_metrics(per_q).collect()[0]
+        assert avg["n_queries"] == 2
+        assert avg["avg_precision"] == pytest.approx(0.5)
+
+    def test_graded_relevance_dcg(self, spark):
+        """truth with a ``rel`` column → rating-graded DCG like the
+        reference's calculate_dcg (MetricsCalculator.h:89-113)."""
+        truth = spark.createDataFrame(
+            [(0, 1, 3.0), (0, 2, 1.0)], ["query_id", "item_id", "rel"]
+        )
+        results = spark.createDataFrame(  # retrieved in the WRONG order
+            [(0, 2, 1), (0, 1, 2)], ["query_id", "item_id", "rnk"]
+        )
+        m = retrieval_metrics(results, truth, k=2).collect()[0]
+        dcg = 1.0 / math.log2(2) + 3.0 / math.log2(3)
+        idcg = 3.0 / math.log2(2) + 1.0 / math.log2(3)
+        assert m["ndcg_at_k"] == pytest.approx(dcg / idcg)
+        assert m["precision_at_k"] == pytest.approx(1.0)  # hit counting stays binary
 
     def test_perfect_retrieval(self, spark):
         truth = spark.createDataFrame([(0, i) for i in range(5)], ["query_id", "item_id"])
