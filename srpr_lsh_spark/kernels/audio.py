@@ -92,6 +92,54 @@ def fingerprint(samples: np.ndarray, dim: int = 32) -> np.ndarray:
     return (v / norm).astype(np.float32)
 
 
+def batch_pair_snr_db(seq_a, seq_b) -> np.ndarray:
+    """Symmetric pair SNR (dB) for a batch of variable-length signal pairs:
+    ``min(snr(a_i→b_i), snr(b_i→a_i))`` per pair, all dot products in one
+    vectorized pass.
+
+    Implementation: common-prefix slices are concatenated into flat arrays and
+    the per-pair signal/noise powers come from ``np.add.reduceat`` over the
+    offsets — no (batch × max_len) zero-padded matrix is ever materialized
+    (this host punishes first-touch of large fresh allocations; see NOTES.md).
+    Because the noise term is direction-independent, the symmetric min is
+    simply ``10·log10(min(P_a, P_b) / P_noise)``.
+    """
+    m = len(seq_a)
+    out = np.full(m, -np.inf)
+    if m == 0:
+        return out
+    arrs_a, arrs_b, idx = [], [], []
+    for i in range(m):
+        x = np.asarray(seq_a[i], dtype=np.float64)
+        y = np.asarray(seq_b[i], dtype=np.float64)
+        n = min(x.size, y.size)
+        if n == 0:
+            continue
+        arrs_a.append(x[:n])
+        arrs_b.append(y[:n])
+        idx.append(i)
+    if not idx:
+        return out
+    lens = np.fromiter((a.size for a in arrs_a), np.int64, len(arrs_a))
+    offs = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    fa = np.concatenate(arrs_a)
+    fb = np.concatenate(arrs_b)
+    p_a = np.add.reduceat(fa * fa, offs)
+    p_b = np.add.reduceat(fb * fb, offs)
+    d = fa - fb
+    p_n = np.add.reduceat(d * d, offs)
+    p_sig = np.minimum(p_a, p_b)
+    snr = np.full(len(idx), -np.inf)
+    live = p_sig >= 1e-20
+    exact = live & (p_n < 1e-20)
+    ok = live & ~exact
+    snr[exact] = np.inf
+    snr[ok] = 10.0 * np.log10(p_sig[ok] / p_n[ok])
+    out[np.asarray(idx)] = snr
+    return out
+
+
 def pair_snr_db(ref: np.ndarray, test: np.ndarray) -> float:
     """SNR (dB) of ``test`` against ``ref`` over their common prefix.
 

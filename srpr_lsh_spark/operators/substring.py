@@ -116,14 +116,17 @@ def verify_containment(cands: DataFrame, clips: DataFrame, cfg: DedupConfig) -> 
     )
 
     def check_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one suffix array per container, searched for every candidate substring
+        # one suffix array per container; candidates normalized in one batch,
+        # then each probed with an O(|ts| log |tl|) binary search (the search
+        # itself is inherently per-candidate — it IS the work, not overhead)
         tl = normalize_transcript([pdf["tl"].iloc[0]])[0].encode("utf-8")
         sa = suffix_array(tl)
+        tss = normalize_transcript(pdf["ts"].tolist())
         out_a, out_b = [], []
-        for _, row in pdf.iterrows():
-            ts = normalize_transcript([row["ts"]])[0].encode("utf-8")
-            if len(ts) and sa_contains(tl, sa, ts):
-                lo, hi = sorted([row["short"], row["long"]])
+        for short, long_, ts in zip(pdf["short"], pdf["long"], tss):
+            tsb = ts.encode("utf-8")
+            if len(tsb) and sa_contains(tl, sa, tsb):
+                lo, hi = sorted([short, long_])
                 out_a.append(lo)
                 out_b.append(hi)
         return pd.DataFrame({"a": out_a, "b": out_b, "source": "substr"})

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
 from srpr_lsh_spark.config import DedupConfig
-from srpr_lsh_spark.kernels.audio import decode_pcm16_wav, pair_snr_db
+from srpr_lsh_spark.kernels.audio import batch_pair_snr_db, decode_pcm16_wav
 from srpr_lsh_spark.kernels.hashing import shingle_hashes
 from srpr_lsh_spark.kernels.text import jaccard, normalize_transcript
 
@@ -139,19 +139,20 @@ def verify_audio_pairs(
             fa = np.stack(pdf["fa"].to_numpy())
             fb = np.stack(pdf["fb"].to_numpy())
             cosines = np.einsum("ij,ij->i", fa, fb).astype(np.float64)
-            keep = []
-            for i in np.flatnonzero(cosines >= cos_thr):
-                ka = np.asarray(pdf["ka"].iloc[i], dtype=np.float64)
-                kb = np.asarray(pdf["kb"].iloc[i], dtype=np.float64)
-                if min(pair_snr_db(ka, kb), pair_snr_db(kb, ka)) >= coarse_thr:
-                    keep.append(i)
+            cand = np.flatnonzero(cosines >= cos_thr)
+            ka = pdf["ka"].to_numpy()
+            kb = pdf["kb"].to_numpy()
+            snr = batch_pair_snr_db(ka[cand], kb[cand])
+            keep = cand[snr >= coarse_thr]
             out = pdf.iloc[keep][["a", "b", "source"]].copy()
             out["cosine"] = cosines[keep]
             yield out
 
-    # survivor frames are tiny (≈ true-dup count); eager checkpoints keep the
-    # downstream shrink-branches from re-executing the Python phases
-    cos_pass = withf.mapInPandas(cos_filter, schema=pre_schema).localCheckpoint(eager=True)
+    # phase 1→2 is one linear chain (two sequential joins, one UDF execution),
+    # so no checkpoint is needed between them — the survivor checkpoint below
+    # is the one that matters, because phase 3's semi-join shrink references
+    # its input twice
+    cos_pass = withf.mapInPandas(cos_filter, schema=pre_schema)
 
     # phase 2: sketch SNR — the multi-KB sketch is only attached for pairs
     # that already look parallel (never for the full candidate set)
@@ -163,14 +164,10 @@ def verify_audio_pairs(
         for pdf in batches:
             if not len(pdf):
                 continue
-            keep = []
-            for i, (sa, sb) in enumerate(zip(pdf["sa"], pdf["sb"])):
-                sa = np.asarray(sa, dtype=np.float64)
-                sb = np.asarray(sb, dtype=np.float64)
-                snr = min(pair_snr_db(sa, sb), pair_snr_db(sb, sa))
-                if snr >= sketch_thr:
-                    keep.append(i)
-            yield pdf.iloc[keep][["a", "b", "source", "cosine"]]
+            snr = batch_pair_snr_db(pdf["sa"].to_numpy(), pdf["sb"].to_numpy())
+            yield pdf.iloc[np.flatnonzero(snr >= sketch_thr)][
+                ["a", "b", "source", "cosine"]
+            ]
 
     survivors = withs.mapInPandas(sketch_filter, schema=pre_schema).localCheckpoint(eager=True)
 
@@ -191,21 +188,22 @@ def verify_audio_pairs(
     )
 
     def gen(batches):
+        empty = np.empty(0)
         for pdf in batches:
             if not len(pdf):
                 continue
-            snrs = np.empty(len(pdf))
-            for i, (ba, ca, bb, cb) in enumerate(
-                zip(pdf["ba"], pdf["ca"], pdf["bb"], pdf["cb"])
-            ):
+            # decode is per-row (one frombuffer per blob — no per-sample
+            # Python); the SNR math is one vectorized batch pass. Symmetric
+            # min keeps the pair relation order-independent.
+            pas, pbs = [], []
+            for ba, ca, bb, cb in zip(pdf["ba"], pdf["ca"], pdf["bb"], pdf["cb"]):
                 if ba is None or bb is None:
-                    snrs[i] = float("-inf")
+                    pas.append(empty)
+                    pbs.append(empty)
                     continue
-                pa = decode_pcm16_wav(bytes(ba), codec=ca)
-                pb = decode_pcm16_wav(bytes(bb), codec=cb)
-                # symmetric: require both directions to clear the bar so the
-                # pair relation stays order-independent
-                snrs[i] = min(pair_snr_db(pa, pb), pair_snr_db(pb, pa))
+                pas.append(decode_pcm16_wav(bytes(ba), codec=ca))
+                pbs.append(decode_pcm16_wav(bytes(bb), codec=cb))
+            snrs = batch_pair_snr_db(pas, pbs)
             keep = snrs >= snr_thr
             out = pdf.loc[keep, ["a", "b", "source", "cosine"]].copy()
             out["snr_db"] = np.clip(snrs[keep], -1e9, 1e9)

@@ -161,6 +161,29 @@ class TestAudio:
         x = np.ones(100) * 0.3
         assert pair_snr_db(x, x) == float("inf")
 
+    def test_batch_snr_matches_scalar(self):
+        """batch_pair_snr_db ≡ min(pair_snr_db(a,b), pair_snr_db(b,a)) on
+        random variable-length pairs, including the edge cases (empty, zero
+        power, identical)."""
+        from srpr_lsh_spark.kernels.audio import batch_pair_snr_db
+
+        rng = np.random.default_rng(11)
+        pairs = []
+        for n in (0, 1, 17, 512, 777):
+            a = rng.standard_normal(n)
+            b = a + rng.standard_normal(n) * 0.01
+            pairs.append((a, b))
+            pairs.append((a, rng.standard_normal(max(n - 3, 0))))  # length mismatch
+        pairs.append((np.zeros(50), rng.standard_normal(50)))  # zero-power ref
+        pairs.append((np.ones(50), np.ones(50)))                # identical → inf
+        got = batch_pair_snr_db([p[0] for p in pairs], [p[1] for p in pairs])
+        for i, (a, b) in enumerate(pairs):
+            want = min(pair_snr_db(a, b), pair_snr_db(b, a))
+            if want in (float("inf"), float("-inf")):
+                assert got[i] == want, (i, got[i], want)
+            else:
+                assert got[i] == pytest.approx(want), (i, got[i], want)
+
     def test_fingerprint_near_dup_high_cosine(self):
         rng = np.random.default_rng(9)
         t = np.linspace(0, 1, 16000, endpoint=False)
