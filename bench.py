@@ -80,30 +80,31 @@ def _session(cpus: int, shuffle_partitions: "int | None" = None):
 
 
 def _pair_quality(clusters_df, oracle_df) -> dict:
-    """Cluster-level dup-pair recall/precision vs the planted oracle."""
-    import pandas as pd
+    """Cluster-level dup-pair recall/precision vs the planted oracle,
+    computed relationally (pair-counting over the contingency table) — no
+    driver-side O(|cluster|²) enumeration, so a 10⁶-member skew cluster costs
+    one small groupBy, not 10¹² python pairs.
 
-    got = clusters_df.toPandas()
-    want = oracle_df.select("clip_id", "cluster_id").toPandas()
+    agree = Σ_cells C(n,2); got = Σ_g C(n_g,2); want = Σ_w C(n_w,2) where the
+    cells are (got_cluster, want_cluster) intersections over the joined
+    assignments. recall = agree/want, precision = agree/got.
+    """
+    from pyspark.sql import functions as F
 
-    def pairs(df):
-        out = set()
-        for _, grp in df.groupby("cluster_id"):
-            ids = sorted(grp["clip_id"])
-            if len(ids) < 2:
-                continue
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out.add((ids[i], ids[j]))
-        return out
-
-    gp, wp = pairs(got), pairs(want)
-    recall = 1 - len(wp - gp) / max(len(wp), 1)
-    precision = 1 - len(gp - wp) / max(len(gp), 1)
+    j = clusters_df.select("clip_id", F.col("cluster_id").alias("g")).join(
+        oracle_df.select("clip_id", F.col("cluster_id").alias("w")), "clip_id"
+    )
+    cells = j.groupBy("g", "w").agg(F.count("*").alias("n")).localCheckpoint(eager=True)
+    c2 = lambda c: F.sum(F.col(c) * (F.col(c) - 1) / 2)
+    agree = cells.agg(c2("n").alias("x")).first()["x"] or 0.0
+    got = cells.groupBy("g").agg(F.sum("n").alias("n")).agg(c2("n").alias("x")).first()["x"] or 0.0
+    want = cells.groupBy("w").agg(F.sum("n").alias("n")).agg(c2("n").alias("x")).first()["x"] or 0.0
+    recall = agree / max(want, 1.0)
+    precision = agree / max(got, 1.0)
     return {
         "dup_pair_recall": round(recall, 5),
         "dup_pair_precision": round(precision, 5),
-        "oracle_pairs": len(wp),
+        "oracle_pairs": int(want),
     }
 
 

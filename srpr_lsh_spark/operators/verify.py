@@ -51,8 +51,21 @@ def _attach(
     return pairs.join(slim, on)
 
 
+def _spread(pairs: DataFrame) -> DataFrame:
+    """Repartition a candidate-pair frame by ROW COUNT before a CPU-bound
+    Python verify stage.
+
+    AQE coalesces shuffles toward a target of shuffle *bytes* — a few MB of
+    (a, b) id pairs collapses to one partition, which then serializes minutes
+    of per-row Python work onto one core. Pair rows are tiny, so this extra
+    shuffle is noise at any scale, while the verify stage becomes
+    embarrassingly parallel again."""
+    return pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
+
+
 def verify_text_pairs(pairs: DataFrame, clips: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(a, b, source) + clips → verified (a, b, source, jaccard) at threshold."""
+    pairs = _spread(pairs)
     t = clips.select("clip_id", "transcript")
     withz = _attach(pairs, t, {"transcript": "ta"}, "a", shrink=False)
     withz = _attach(withz, t, {"transcript": "tb"}, "b", shrink=False)
@@ -117,6 +130,7 @@ def verify_audio_pairs(
     fp_side = signatures.select(
         "clip_id", "fp", F.slice("pcm_sketch", 1, 64).alias("sk64")
     )
+    pairs = _spread(pairs)
     withf = _attach(pairs, fp_side, {"fp": "fa", "sk64": "ka"}, "a", shrink=False)
     withf = _attach(withf, fp_side, {"fp": "fb", "sk64": "kb"}, "b", shrink=False)
 
@@ -172,8 +186,10 @@ def verify_audio_pairs(
     survivors = withs.mapInPandas(sketch_filter, schema=pre_schema).localCheckpoint(eager=True)
 
     # phase 3: authoritative decoded-PCM SNR; bytes join only for survivors
+    # (spread again: the survivor frame is small in bytes but each row costs
+    # two full PCM decodes)
     blobs = clips.select("clip_id", "bytes", "codec")
-    withb = _attach(survivors, blobs, {"bytes": "ba", "codec": "ca"}, "a")
+    withb = _attach(_spread(survivors), blobs, {"bytes": "ba", "codec": "ca"}, "a")
     withb = _attach(withb, blobs, {"bytes": "bb", "codec": "cb"}, "b")
     snr_thr = cfg.snr_db_threshold
 
