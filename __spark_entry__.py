@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     out["ann_lsh_topk"] = lambda s, d: docq.ann_lsh_topk_embeddings(s, d, _CFG)
     out["ann_eval"] = lambda s, d: docq.ann_eval_embeddings(s, d, _CFG)
+    # model training (iterative — rows-only; math pinned by tests/test_ml.py)
+    from srpr_lsh_spark.plans import training as tr
+
+    out["bpr_training"] = lambda s, d: tr.bpr_training_curve(s, d, _CFG)
+    out["srpr_training"] = lambda s, d: tr.srpr_training_curve(s, d, _CFG)
+    out["model_hash_sweep"] = lambda s, d: tr.model_hash_sweep(s, d, _CFG)
     return out
 
 

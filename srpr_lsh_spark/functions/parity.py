@@ -672,6 +672,26 @@ GROUP BY a.u
 """
 
 
+def q_epoch_loglik(spark, sf_dir):
+    """Epoch log-likelihood aggregation — Σ ln σ(x) over a score column
+    (src/SRPRModel.h:80,133 / MatrixFactorization sigmoid), the SQL-expressible
+    core of the per-epoch training metric. ln σ(x) = −ln(1 + e^(−x))."""
+    o = _t(spark, sf_dir, "orders")
+    x = (F.col("o_totalprice") - 150000.0) / 50000.0
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.sum(-F.log1p(F.exp(-x))), 4).alias("loglik"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_epoch_loglik = """
+SELECT o_orderpriority,
+       round(sum(-ln(1 + exp(-((o_totalprice - 150000.0) / 50000.0)))), 4) AS loglik,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -701,4 +721,5 @@ ORACLE_QUERIES = {
     "id_remap": (q_id_remap, SQL_id_remap),
     "per_group_cap": (q_per_group_cap, SQL_per_group_cap),
     "triplet_gen": (q_triplet_gen, SQL_triplet_gen),
+    "epoch_loglik": (q_epoch_loglik, SQL_epoch_loglik),
 }

@@ -23,13 +23,21 @@ def sweep_bits(
     sf_dir: str,
     bits_grid: "tuple[int, ...]" = (4, 8, 12, 16),
     k_grid: "tuple[int, ...]" = (5, 10),
-    tables: int = 12,
+    tables: "int | None" = 12,
     n_queries: int = 50,
     seed: int = 42,
 ) -> DataFrame:
-    """→ one row per (bits, k): avg precision/recall/MAP/nDCG + scan ratio."""
+    """→ one row per (bits, k): avg precision/recall/MAP/nDCG + scan ratio.
+
+    ``tables=None`` derives L = ceil(log2(n_items)) from the corpus size, the
+    reference's experiment config (``data_collection/speedup.cpp:56``,
+    ``recall.cpp:52``)."""
+    import math
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     n_items = emb.count()
+    if tables is None:
+        tables = max(1, math.ceil(math.log2(max(n_items, 2))))
     queries = emb.filter(F.col("vec_id") < n_queries).cache()
 
     # brute-force oracle once per k (reference: main.cpp:29-44; tie-break :36)
@@ -84,3 +92,25 @@ def sweep_bits(
         "map_at_k double, avg_ndcg double, n_queries long, lsh_sec double, "
         "scan_ratio double",
     )
+
+
+def speedup_csv(spark: SparkSession, sf_dir: str, out_path: str,
+                bits_grid: "tuple[int, ...]" = (4, 8, 12, 16),
+                n_queries: int = 50, seed: int = 42) -> DataFrame:
+    """Reference-CSV-compatible sweep sink: ``bits,speedup,nRecall@10`` —
+    ``data_collection/speedup.cpp:60-68``'s output schema, with the
+    single-node ms-ratio speedup replaced by its distributed-engine analogue
+    1/scan_ratio (exhaustive comparisons / LSH candidate comparisons), and
+    nRecall@10 = avg recall vs the brute-force cosine oracle.
+
+    L = ceil(log2(n_items)) as in the reference experiment. Writes the CSV
+    driver-side (one tiny file, like the reference) and returns the frame."""
+    df = sweep_bits(spark, sf_dir, bits_grid=bits_grid, k_grid=(10,),
+                    tables=None, n_queries=n_queries, seed=seed)
+    pdf = df.toPandas().sort_values("bits")
+    pdf["speedup"] = (1.0 / pdf["scan_ratio"].clip(lower=1e-12)).round(2)
+    out = pdf[["bits", "speedup", "avg_recall"]].rename(
+        columns={"avg_recall": "nRecall@10"}
+    )
+    out.to_csv(out_path, index=False)
+    return spark.createDataFrame(out)

@@ -62,8 +62,11 @@ def test_rows_only_queries_run(spark):
         "ann_eval",
         "ann_lsh_topk",
         "band_bucket_histogram",
+        "bpr_training",
         "minhash_signatures",
+        "model_hash_sweep",
         "near_dup_pairs_documents",
+        "srpr_training",
     ]
     for k in rows_only:
         df = qs[k](spark, SF_DIR)

@@ -156,3 +156,26 @@ class TestSweep:
         assert df.loc[0, "avg_recall"] > df.loc[1, "avg_recall"]
         assert df.loc[0, "scan_ratio"] > df.loc[1, "scan_ratio"]
         assert (df["avg_ndcg"] >= df["avg_recall"] - 1e-9).all()
+
+    def test_derived_table_count_and_csv_sink(self, spark, tmp_path):
+        """tables=None → L = ceil(log2(n_items)) (speedup.cpp:56) and the
+        bits,speedup,nRecall@10 CSV matches the reference sink schema
+        (speedup.cpp:60-68)."""
+        import math
+
+        from srpr_lsh_spark.plans.sweep import speedup_csv, sweep_bits
+
+        sf = "/root/testdata/sf0.001"
+        df = sweep_bits(spark, sf, bits_grid=(8,), k_grid=(10,), tables=None,
+                        n_queries=10).toPandas()
+        n_items = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+        assert df.loc[0, "tables"] == math.ceil(math.log2(n_items))
+
+        p = str(tmp_path / "speedup.csv")
+        out = speedup_csv(spark, sf, p, bits_grid=(4, 8), n_queries=10).toPandas()
+        assert list(out.columns) == ["bits", "speedup", "nRecall@10"]
+        with open(p) as f:
+            assert f.readline().strip() == "bits,speedup,nRecall@10"
+        assert (out["speedup"] >= 1.0).all()
+        # fewer bits → bigger buckets → more candidates scanned → less speedup
+        assert out.loc[0, "speedup"] <= out.loc[1, "speedup"]
