@@ -8,7 +8,10 @@ LSH as the fast path — ``main.cpp:122-166``):
 - SRP-LSH-bucketed top-k: explode SRP table keys (the reference's L-table
   scheme, ``src/lsh.h:27-44``), bucket-join query and candidate sides, exact
   cosine re-rank on the candidate union, top-k with total-order tie-break
-  (score desc, id asc) — ``src/lsh.h:132-168`` semantics.
+  (UNROUNDED score desc, id desc — the reference's ``sort(rbegin, rend)``
+  over (score, id) pairs, ``main.cpp:36``). The same order is used by the
+  brute-force oracles in plans/documents.py and plans/sweep.py, so ties can
+  never inject artificial recall noise into the eval.
 """
 
 from __future__ import annotations
@@ -106,7 +109,14 @@ def lsh_topk(
     scored = (
         cands.join(F.broadcast(qv), "query_id")
         .join(cv, "cand_id")
-        .select("query_id", "cand_id", F.round(cosine_expr("qv", "cv"), 4).alias("cosine"))
+        .select("query_id", "cand_id", cosine_expr("qv", "cv").alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    # rank on the UNROUNDED score with id-desc tie-break — identical to the
+    # brute-force oracle's order (main.cpp:36), so LSH-vs-oracle comparisons
+    # differ only by bucketing, never by tie resolution
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").desc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .withColumn("cosine", F.round("cosine", 4))
+    )

@@ -10,10 +10,17 @@ Skew design (SURVEY.md §4.3.2) — a naive self-join is O(|bucket|²), fatal fo
 hot bands (near-identical mass content, zero fingerprints):
 - bucket sizes come from a map-side-combinable ``groupBy().count()`` first;
 - buckets ≤ ``bucket_pair_cap`` do the exact all-pairs self-join;
-- larger buckets emit STAR pairs (every member ↔ the bucket's min clip_id):
-  O(n) edges, and after exact verification + connected components the
-  transitive closure recovers the full cluster, so cluster-level dup-pair
-  recall is preserved while the worst bucket costs linear work.
+- larger buckets emit STAR pairs to TWO anchors (every member ↔ the bucket's
+  min clip_id AND ↔ its max clip_id): O(n) edges. Recall preservation here is
+  a high-probability heuristic, not a guarantee — a member whose similarity
+  to BOTH anchors falls below the verify threshold (while passing against
+  other members) is stranded. Two forces make that rare in practice: the
+  full-signature collapse (``space_candidates``) guarantees capped buckets
+  contain only DISTINCT signatures, and a true near-dup family inside one
+  bucket tends to be mutually similar, so two independent anchors give two
+  chances to attach. The residual gap is measured, not assumed:
+  tests/test_components.py plants an adversarial over-cap bucket whose min
+  anchor is dissimilar to half the members.
 - AQE skew-join splitting handles residual imbalance in the join itself.
 """
 
@@ -70,12 +77,20 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     b = small.select(*key, F.col("clip_id").alias("b"))
     small_pairs = a.join(b, key).filter(F.col("a") < F.col("b")).select("a", "b", "source")
 
-    reps = big.groupBy(*key).agg(F.min("clip_id").alias("a"))
-    star_pairs = (
-        big.join(reps, key)
-        .filter(F.col("clip_id") != F.col("a"))
-        .select("a", F.col("clip_id").alias("b"), "source")
+    # two-anchor star: min AND max clip_id — still O(n) edges per bucket, but
+    # a member dissimilar to one anchor gets a second independent chance to
+    # attach before exact verification (see module docstring)
+    reps = big.groupBy(*key).agg(
+        F.min("clip_id").alias("lo"), F.max("clip_id").alias("hi")
     )
+    joined = big.join(reps, key)
+    lo_pairs = joined.filter(F.col("clip_id") != F.col("lo")).select(
+        F.col("lo").alias("a"), F.col("clip_id").alias("b"), "source"
+    )
+    hi_pairs = joined.filter(F.col("clip_id") != F.col("hi")).select(
+        F.col("clip_id").alias("a"), F.col("hi").alias("b"), "source"
+    )
+    star_pairs = lo_pairs.unionByName(hi_pairs)
 
     return small_pairs.unionByName(star_pairs).dropDuplicates(["a", "b", "source"])
 
@@ -137,9 +152,10 @@ def exact_content_edges(signatures: DataFrame) -> DataFrame:
     group even for the giant byte-identical skew group.
 
     Generalizes the reference's parameter-keyed cache identity discipline and
-    the trivial identical-signature case; collision risk of the 64-bit digest
-    is ~n²/2⁶⁵ — negligible below ~10⁹ distinct contents, and any collision is
-    still filtered by downstream cluster verification in strict mode.
+    the trivial identical-signature case. The key is a 128-bit blake2b digest:
+    expected collisions ≈ n²/2¹²⁹ ≈ 10⁻¹⁵ even at 10¹² clips, so exact edges
+    are accepted without further verification — the digest is sized to make a
+    false merge impossible in practice, not mitigated downstream.
     """
     w_min = F.min("clip_id")
     reps = signatures.groupBy("content_key").agg(

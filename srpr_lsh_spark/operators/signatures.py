@@ -1,9 +1,13 @@
 """Stage 1: clips → signatures.
 
 One ``mapInPandas`` pass per input partition computes, per clip:
-- ``content_key``: 64-bit digest of (normalized transcript, raw bytes) — the
-  exact-dup short-circuit key (identical content ⇒ duplicate without pairwise
-  verification; generalizes the reference's identical-signature fast path),
+- ``content_key``: 128-bit blake2b digest of (normalized transcript, raw
+  bytes) — the exact-dup short-circuit key (identical content ⇒ duplicate
+  without pairwise verification; generalizes the reference's
+  identical-signature fast path). 128 bits keeps the expected collision count
+  ≈ n²/2¹²⁹ ≈ 10⁻¹⁵ even at the north-star 10¹² clips; a collision would be
+  an unverified false merge, so the digest is sized to make that impossible
+  in practice rather than "verified later",
 - MinHash signature + per-band keys over transcript k-shingles,
 - bottom-k shingle sketch (substring-containment candidates),
 - audio fingerprint + SRP/SimHash table keys (the reference's hashing scheme,
@@ -24,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -49,7 +54,7 @@ def signatures_schema() -> StructType:
     return StructType(
         [
             StructField("clip_id", StringType(), False),
-            StructField("content_key", LongType(), False),
+            StructField("content_key", BinaryType(), False),
             StructField("n_shingles", IntegerType(), False),
             StructField("tr_len", IntegerType(), False),
             StructField("minhash", ArrayType(LongType(), False), True),
@@ -65,12 +70,12 @@ def signatures_schema() -> StructType:
     )
 
 
-def _content_key(transcript_norm: str, blob: "bytes | None") -> int:
-    h = hashlib.blake2b(digest_size=8)
+def _content_key(transcript_norm: str, blob: "bytes | None") -> bytes:
+    h = hashlib.blake2b(digest_size=16)
     h.update(transcript_norm.encode("utf-8"))
     h.update(b"\x00")
     h.update(blob or b"")
-    return int.from_bytes(h.digest(), "little", signed=True)
+    return h.digest()
 
 
 def compute_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:

@@ -1,4 +1,7 @@
-"""Connected components vs a union-find oracle on random graphs."""
+"""Connected components vs a union-find oracle on random graphs, plus the
+adversarial over-cap star-bucket fixture (VERDICT r1 #8)."""
+
+import dataclasses
 
 import numpy as np
 import pytest
@@ -76,3 +79,61 @@ def test_giant_star(spark):
     edges = [(nodes[0], x) for x in nodes[1:]]
     got = _run(spark, nodes, edges)
     assert set(got.values()) == {nodes[0]}
+
+
+class TestOverCapStarBucket:
+    """Adversarial hot-bucket fixture: a >cap bucket whose MIN anchor is
+    dissimilar to every true member. With single-anchor star pairing the
+    whole family would be stranded (every (min, member) edge fails exact
+    verification); the two-anchor star recovers it via the max anchor."""
+
+    IDS = [f"c{i:02d}" for i in range(20)]
+
+    def _pairs(self, spark, cap=8):
+        from srpr_lsh_spark.config import DedupConfig
+        from srpr_lsh_spark.operators.banding import candidate_pairs
+
+        cfg = dataclasses.replace(DedupConfig(shuffle_partitions=8), bucket_pair_cap=cap)
+        bands = spark.createDataFrame(
+            [(i, 0, 42, "minhash") for i in self.IDS],
+            ["clip_id", "band_id", "band_hash", "source"],
+        )
+        return candidate_pairs(bands, cfg), cfg
+
+    def test_edges_to_both_anchors_linear_count(self, spark):
+        pairs, _ = self._pairs(spark)
+        got = {(r["a"], r["b"]) for r in pairs.collect()}
+        for m in self.IDS[1:]:
+            assert ("c00", m) in got, f"missing min-anchor edge for {m}"
+        for m in self.IDS[:-1]:
+            assert (m, "c19") in got, f"missing max-anchor edge for {m}"
+        # O(n) star edges, not the O(n²) all-pairs join
+        assert len(got) == 2 * (len(self.IDS) - 1) - 1
+        assert len(got) < len(self.IDS) * (len(self.IDS) - 1) / 2
+
+    def test_family_recovered_despite_junk_min_anchor(self, spark):
+        from srpr_lsh_spark.operators.verify import verify_text_pairs
+
+        pairs, cfg = self._pairs(spark)
+        family = (
+            "the quick brown fox jumps over the lazy dog again and again "
+            "while the band keeps playing the same old song all night long"
+        )
+        texts = {"c00": "zzz completely unrelated gibberish qqq www eee rrr ttt yyy"}
+        for m in self.IDS[1:]:
+            texts[m] = family
+        clips = spark.createDataFrame(
+            [(i, texts[i]) for i in self.IDS], ["clip_id", "transcript"]
+        )
+        verified = verify_text_pairs(pairs, clips, cfg)
+        nodes = spark.createDataFrame([(i,) for i in self.IDS], ["clip_id"])
+        labels = {
+            r["clip_id"]: r["cluster_id"]
+            for r in connected_components(
+                verified.select("a", "b"), nodes
+            ).collect()
+        }
+        # the junk min anchor stays a singleton; the 19 true members cluster
+        assert labels["c00"] == "c00"
+        family_labels = {labels[m] for m in self.IDS[1:]}
+        assert family_labels == {"c01"}
