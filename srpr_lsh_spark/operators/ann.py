@@ -75,35 +75,46 @@ def cosine_expr(a: str, b: str):
     return dot / (n1 * n2)
 
 
-def lsh_topk(
+def lsh_candidates(
     vectors: DataFrame,
     queries: DataFrame,
     id_col: str,
     vec_col: str,
     dim: int,
-    k: int = 10,
     tables: int = 12,
     bits: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """SRP-LSH top-k: bucket-probe join → candidate union → exact re-rank.
-
-    ``queries`` is a subset of ``vectors`` (or any frame with the same id/vec
-    columns). Returns (query_id, cand_id, cosine, rnk ≤ k).
-    """
+    """The LSH bucket-probe join (src/lsh.h:34-44) + candidate union across
+    tables (:36-43): → distinct (query_id, cand_id)."""
     keys_all = _with_srp_keys(vectors, vec_col, id_col, dim, tables, bits, seed)
     keys_q = _with_srp_keys(queries, vec_col, id_col, dim, tables, bits, seed)
     idx = keys_all.select("id", F.posexplode("keys").alias("t", "key"))
     qx = keys_q.select(
         F.col("id").alias("query_id"), F.posexplode("keys").alias("t", "key")
     )
-    # the LSH bucket-probe join (src/lsh.h:34-44) + union across tables (:36-43)
-    cands = (
+    return (
         qx.join(idx, ["t", "key"])
         .filter(F.col("query_id") != F.col("id"))
         .select("query_id", F.col("id").alias("cand_id"))
         .distinct()
     )
+
+
+def rerank_topk(
+    cands: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact cosine re-rank of (query_id, cand_id) candidates → top-k.
+
+    ``F.broadcast(qv)`` assumes a bounded query set (top-k serving / eval, the
+    reference's usage) — for all-vs-all workloads use the dedup pipeline's
+    banded self-join instead; broadcasting an unbounded query side would not
+    survive scale."""
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     cv = vectors.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
     scored = (
@@ -120,3 +131,23 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .withColumn("cosine", F.round("cosine", 4))
     )
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    tables: int = 12,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """SRP-LSH top-k: bucket-probe join → candidate union → exact re-rank.
+
+    ``queries`` is a subset of ``vectors`` (or any frame with the same id/vec
+    columns). Returns (query_id, cand_id, cosine, rnk ≤ k).
+    """
+    cands = lsh_candidates(vectors, queries, id_col, vec_col, dim, tables, bits, seed)
+    return rerank_topk(cands, vectors, queries, id_col, vec_col, k)

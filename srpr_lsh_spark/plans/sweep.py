@@ -52,27 +52,24 @@ def sweep_bits(
     ranked_oracle = sims.withColumn("rnk", F.row_number().over(w)).cache()
     ranked_oracle.count()
 
-    from srpr_lsh_spark.operators.ann import _with_srp_keys
+    from srpr_lsh_spark.operators.ann import lsh_candidates, rerank_topk
 
     rows = []
     for bits in bits_grid:
         t0 = time.time()
-        lsh = lsh_topk(
+        # ONE candidate plan per bits config, shared by the re-rank and the
+        # scan-volume count (the speedup proxy: fraction of the exhaustive
+        # scan the LSH index replaces — speedup.cpp:103-113)
+        cands = lsh_candidates(
             emb, queries, id_col="vec_id", vec_col="embedding", dim=64,
-            k=max(k_grid), tables=tables, bits=bits, seed=seed,
+            tables=tables, bits=bits, seed=seed,
+        ).cache()
+        n_scored = cands.count()
+        lsh = rerank_topk(
+            cands, emb, queries, id_col="vec_id", vec_col="embedding", k=max(k_grid)
         ).cache()
         lsh.count()
         lsh_sec = time.time() - t0
-        # candidate volume actually re-ranked (the speedup proxy: fraction of
-        # the exhaustive scan the LSH index replaces — speedup.cpp:103-113)
-        ka = _with_srp_keys(emb, "embedding", "vec_id", 64, tables, bits, seed)
-        kq = _with_srp_keys(queries, "embedding", "vec_id", 64, tables, bits, seed)
-        idx = ka.select("id", F.posexplode("keys").alias("t", "key"))
-        qx = kq.select(F.col("id").alias("qid"), F.posexplode("keys").alias("t", "key"))
-        n_scored = (
-            qx.join(idx, ["t", "key"]).filter(F.col("qid") != F.col("id"))
-            .select("qid", "id").distinct().count()
-        )
         for k in k_grid:
             truth = ranked_oracle.filter(F.col("rnk") <= k).select("query_id", "item_id")
             res = lsh.filter(F.col("rnk") <= k).select(
@@ -86,6 +83,7 @@ def sweep_bits(
                  round(n_scored / max(n_queries * (n_items - 1), 1), 6))
             )
         lsh.unpersist()
+        cands.unpersist()
     return spark.createDataFrame(
         rows,
         "bits int, k int, tables int, avg_precision double, avg_recall double, "

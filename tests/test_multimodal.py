@@ -1,5 +1,6 @@
-"""Multimodal plumbing tests — real Spark path, stubbed codecs (FIXTURES
-discipline: deterministic fakes; NotImplementedError boundary for real ones)."""
+"""Multimodal tests — real decoders for uncompressed formats (ppm/pgm/rawv,
+pure numpy like the WAV kernel), deterministic fake for plumbing, and a
+NotImplementedError boundary for codecs needing external libraries."""
 
 import numpy as np
 import pytest
@@ -7,10 +8,48 @@ import pytest
 from srpr_lsh_spark.operators.multimodal import (
     SUPPORTED_FAKE,
     decode_image,
+    encode_ppm,
+    encode_rawv,
     extract_media_features,
     frame_sample,
     image_features,
 )
+
+
+def test_ppm_roundtrip():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    blob = encode_ppm(img)
+    got = decode_image(blob, "ppm")
+    assert np.array_equal(got, img)
+
+
+def test_ppm_with_comment_header():
+    img = np.zeros((2, 3, 3), dtype=np.uint8)
+    blob = b"P6\n# a comment line\n3 2\n255\n" + img.tobytes()
+    assert np.array_equal(decode_image(blob, "ppm"), img)
+
+
+def test_pgm_decodes_to_rgb():
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    blob = b"P5\n4 3\n255\n" + gray.tobytes()
+    got = decode_image(blob, "pgm")
+    assert got.shape == (3, 4, 3)
+    assert np.array_equal(got[..., 0], gray) and np.array_equal(got[..., 2], gray)
+
+
+def test_rawv_roundtrip_and_even_sampling():
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8) for _ in range(10)]
+    blob = encode_rawv(frames)
+    got = frame_sample(blob, "rawv", n_frames=4)
+    assert len(got) == 4
+    # evenly strided: first and last frames always included
+    assert np.array_equal(got[0], frames[0])
+    assert np.array_equal(got[-1], frames[9])
+    # fewer frames than requested → all of them
+    short = frame_sample(encode_rawv(frames[:2]), "rawv", n_frames=4)
+    assert len(short) == 2
 
 
 def test_decode_fake_deterministic():
