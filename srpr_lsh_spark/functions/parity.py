@@ -399,6 +399,33 @@ SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars FROM documents
 """
 
 
+def q_token_count_regex(spark, sf_dir):
+    """BPE-ish regex tokenization (training-data text op): alpha runs, digit
+    runs, and single punctuation marks each count as one token — the
+    class-boundary split rule BPE pre-tokenizers share."""
+    d = _t(spark, sf_dir, "documents")
+    pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(pat), 0)
+    return (
+        d.select("source", F.size(toks).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+SQL_token_count_regex = """
+SELECT source,
+       CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+         AS total_tokens,
+       round(avg(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 4)
+         AS avg_tokens
+FROM documents GROUP BY source
+"""
+
+
 def q_quality_score(spark, sf_dir):
     """Quality scoring: mean word length + uppercase-free ratio per source."""
     d = _t(spark, sf_dir, "documents")
@@ -712,6 +739,7 @@ ORACLE_QUERIES = {
     "set_ops": (q_set_ops, SQL_set_ops),
     "exact_dedup": (q_exact_dedup, SQL_exact_dedup),
     "token_count": (q_token_count, SQL_token_count),
+    "token_count_regex": (q_token_count_regex, SQL_token_count_regex),
     "quality_score": (q_quality_score, SQL_quality_score),
     "ngram_jaccard": (q_ngram_jaccard, SQL_ngram_jaccard),
     "language_id": (q_language_id, SQL_language_id),
