@@ -40,6 +40,10 @@ def test_incremental_signature_ingest(spark, tmp_path):
     # checkpoint processes ONLY the new files
     p2 = SynthParams(n_clips=60, block_size=30, seed=99, min_dur_ms=300, max_dur_ms=800)
     clips2, _ = synthesize_clips(spark, p2, out_dir=str(tmp_path / "b2"))
+    from pyspark.sql import functions as F
+
+    # both synth corpora number clips from 0 — disambiguate the new arrivals
+    clips2 = clips2.withColumn("clip_id", F.concat(F.lit("b2_"), F.col("clip_id")))
     clips2.write.mode("append").parquet(in_dir)
     stream_signatures(spark, in_dir, out_dir, ckpt, CFG)
     got2 = spark.read.parquet(out_dir)
