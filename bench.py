@@ -138,6 +138,7 @@ def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
         out["dedup_sec"] = round(dedup_sec, 2)
         out["clips_per_sec"] = round(n_clips / dedup_sec, 1)
         out["n_clusters"] = n_clusters
+        out["stage_secs"] = res.get("stage_secs", {})
         # BASELINE.json acceptance metric: dup-pair recall / precision vs the
         # planted oracle clusters (computed outside the timed window)
         out.update(_pair_quality(res["clusters"], oracle))
@@ -238,6 +239,7 @@ def main() -> None:
         "cpus": r["cpus"],
         "synth_sec": r["synth_sec"],
         "n_clusters": r["n_clusters"],
+        "stage_secs": r.get("stage_secs", {}),
         "dup_pair_recall": r.get("dup_pair_recall"),
         "dup_pair_precision": r.get("dup_pair_precision"),
     }

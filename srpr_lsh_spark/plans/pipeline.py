@@ -60,15 +60,21 @@ def run_dedup(
     fingerprint their input-file list automatically; in-memory frames should
     pass an explicit ``input_key`` so the same warehouse dir can never serve
     stale stages for a different corpus."""
+    import time
+
     wh = Warehouse(
         spark, warehouse_dir, cfg.config_hash(), resume=resume,
         input_key=input_fingerprint(clips, explicit=input_key),
     )
-    out: dict = {"warehouse": wh, "skipped": []}
+    out: dict = {"warehouse": wh, "skipped": [], "stage_secs": {}}
+    t_mark = time.time()
 
     def note(name, skipped):
+        nonlocal t_mark
         if skipped:
             out["skipped"].append(name)
+        out["stage_secs"][name] = round(time.time() - t_mark, 2)
+        t_mark = time.time()
 
     def build_signatures() -> DataFrame:
         return compute_signatures(clips, cfg)
