@@ -17,7 +17,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from srpr_lsh_spark.config import DedupConfig
+from srpr_lsh_spark.config import DedupConfig, tune_allocator_env
+
+# allocator tuning must precede python-worker forks (workers inherit env);
+# harmless no-op if workers already exist — only new forks benefit
+tune_allocator_env()
 from srpr_lsh_spark.functions.parity import ORACLE_QUERIES
 from srpr_lsh_spark.plans import documents as docq
 from srpr_lsh_spark.plans.pipeline import run_dedup

@@ -61,12 +61,21 @@ def _scratch_dir() -> str:
 def _session(cpus: int, shuffle_partitions: "int | None" = None):
     from pyspark.sql import SparkSession
 
+    from srpr_lsh_spark.config import tune_allocator_env
+
+    tune_allocator_env()  # before JVM launch: python workers inherit it
+
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"srpr-lsh-bench-{cpus}")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # wide binary rows: bound each python worker's per-batch buffer
+        # (2048 clips ≈ 60 MB in + decode scratch). With the allocator tuning
+        # (config.tune_allocator_env) batches this size recycle arena pages
+        # instead of re-faulting fresh mmap'd ones every batch.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # the verify-stage lookup sides (fingerprints/sketches) are tens of MB
         # at bench scale — broadcasting them removes the candidate-pair
         # shuffles; at petabyte scale AQE falls back to SMJ on its own

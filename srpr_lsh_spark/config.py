@@ -11,7 +11,25 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 from dataclasses import asdict, dataclass, field
+
+
+def tune_allocator_env() -> None:
+    """Raise glibc malloc's mmap/trim thresholds for this process and every
+    child (the JVM and the Python workers it forks inherit the env).
+
+    Why: numpy/Arrow per-batch buffers above the default 128 KB threshold are
+    mmap'd and returned to the OS on free, so every batch re-faults fresh
+    zero pages. On this host, first-touch page faults serialize under
+    concurrency (measured: 16 procs × fresh 30 MB buffers run at the SAME
+    throughput as 4 procs; with these thresholds raised, 16 procs scale
+    ~linearly — see BENCH/VARIANCE.md). Arena reuse trades resident memory
+    for allocation locality, the right trade for a long-lived worker. On a
+    real cluster set the same via ``spark.executorEnv.MALLOC_MMAP_THRESHOLD_``.
+    """
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
 
 
 @dataclass(frozen=True)

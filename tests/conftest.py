@@ -6,6 +6,10 @@ import pytest
 os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
 os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
 
+from srpr_lsh_spark.config import tune_allocator_env  # noqa: E402
+
+tune_allocator_env()
+
 
 @pytest.fixture(scope="session")
 def spark():
