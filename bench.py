@@ -118,7 +118,8 @@ def _pair_quality(clusters_df, oracle_df) -> dict:
 
 
 def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
-               shuffle_partitions: "int | None" = None) -> dict:
+               shuffle_partitions: "int | None" = None,
+               skip_queries: bool = False) -> dict:
     from srpr_lsh_spark.config import DedupConfig
     from srpr_lsh_spark.plans.pipeline import run_dedup
     from srpr_lsh_spark.sources.synth import SynthParams, synthesize_clips
@@ -152,15 +153,17 @@ def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
         # planted oracle clusters (computed outside the timed window)
         out.update(_pair_quality(res["clusters"], oracle))
 
-        # relational queries at the driver's sf dir
-        import __spark_entry__ as em
-
-        qs = em.queries()
+        # relational queries at the driver's sf dir (skipped in scaling runs:
+        # they time fixed small-data work that only adds noise exposure there)
         out["queries"] = {}
-        for name in BENCH_QUERIES:
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            out["queries"][name] = round(time.time() - t0, 3)
+        if not skip_queries:
+            import __spark_entry__ as em
+
+            qs = em.queries()
+            for name in BENCH_QUERIES:
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+                out["queries"][name] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
@@ -172,7 +175,7 @@ def _one_scaling_run(sf_dir: str, cpus: int, n_clips: int) -> dict:
         sys.executable, os.path.abspath(__file__),
         "--sf-dir", sf_dir, "--cpus", str(cpus),
         "--n-clips", str(n_clips), "--json-only",
-        "--shuffle-partitions", "64",
+        "--shuffle-partitions", "64", "--skip-queries",
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
     line = [
@@ -183,7 +186,7 @@ def _one_scaling_run(sf_dir: str, cpus: int, n_clips: int) -> dict:
 
 
 def run_scaling(sf_dir: str, n_clips: int = 20000, n_lo: int = 4, n_hi: int = 16,
-                reps: int = 2) -> None:
+                reps: int = 3) -> None:
     """Identical job at local[n_lo] and local[n_hi] (n_hi = 4*n_lo), the
     sandbox stand-in for N vs 4N executors. The host is a single shared
     32-core box: each Spark task also drives a Python worker process, so the
@@ -227,8 +230,9 @@ def main() -> None:
     ap.add_argument("--n-clips", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--json-only", action="store_true")
+    ap.add_argument("--skip-queries", action="store_true")
     args = ap.parse_args()
 
     if args.scaling:
@@ -236,7 +240,8 @@ def main() -> None:
         return
 
     r = bench_once(args.sf_dir, args.cpus, n_clips=args.n_clips,
-                   shuffle_partitions=args.shuffle_partitions)
+                   shuffle_partitions=args.shuffle_partitions,
+                   skip_queries=args.skip_queries)
     line = {
         "metric": "e2e_dedup_sec",
         "value": r["dedup_sec"],
