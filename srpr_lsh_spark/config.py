@@ -30,6 +30,11 @@ def tune_allocator_env() -> None:
     """
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+    # pyarrow's default jemalloc pool madvises pages back per batch —
+    # measured 7× slower than the system pool on this host AND fault-bound
+    # under concurrency (BENCH/VARIANCE.md). Workers import pyarrow after
+    # fork, so they pick this up as long as it's set before the JVM starts.
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
 
 @dataclass(frozen=True)
