@@ -108,12 +108,13 @@ def verify_audio_pairs(
     """(a, b, source) → verified (a, b, source, cosine, snr_db).
 
     Three phases, each shrinking the set before the next gets more expensive:
-    1. fingerprint cosine from the signatures table (no audio movement) —
-       kills the giant hot-band star pairs (zero fingerprints → cosine 0);
-    2. decimated-PCM sketch SNR, also from signatures — kills "fingerprint
-       twins" (different clips whose spectra coincide) without ever touching
-       bytes: their waveforms disagree, so sketch SNR ≈ 0 dB. Threshold is
-       ``snr_db_threshold - sketch_margin_db`` (the sketch is an estimator);
+    1. fingerprint cosine, computed JVM-SIDE in whole-stage codegen (no
+       python round-trip for the full candidate set, no sketch attached) —
+       kills the giant hot-band star pairs and the mass of near-parallel
+       non-duplicates; zero fingerprints → null cosine → dropped;
+    2. decimated-PCM sketch SNR from signatures, survivors only — kills
+       "fingerprint twins" without touching bytes (threshold is
+       ``snr_db_threshold - sketch_margin_db``: the sketch is an estimator);
     3. full decoded-PCM pair SNR (the BASELINE.json per-row invariant) — the
        authoritative check, now on a set bounded by the true duplicate count,
        so audio bytes are only ever joined for rows that are almost certainly
@@ -122,17 +123,27 @@ def verify_audio_pairs(
     cos_thr = cfg.cosine_threshold
     sketch_thr = cfg.snr_db_threshold - cfg.sketch_margin_db
 
-    # phase 1: fingerprint cosine + a 64-point sketch PREFIX (≈ 380 B/row
-    # total) attached for every pair in one join. The prefix matters at
-    # scale: genuinely-parallel "spectrum twins" pass the cosine test by
-    # construction, and without a cheap time-domain check here every one of
-    # them would drag its multi-KB full sketch through the next join.
-    fp_side = signatures.select(
-        "clip_id", "fp", F.slice("pcm_sketch", 1, 64).alias("sk64")
-    )
+    # phase 1 — JVM-side fingerprint cosine. The candidate set is the big
+    # frame (tens of pairs per clip when fingerprints are near-parallel en
+    # masse), and almost all of it dies at this test — so the test runs in
+    # whole-stage codegen on a 128-byte column, with NO python round-trip and
+    # no sketch bytes attached. Fingerprints are L2-normalized at creation;
+    # zero vectors (silence) yield a null cosine and are dropped, matching
+    # the reference's zero-magnitude guard (lsh.h:151-155).
+    fp_side = signatures.select("clip_id", "fp")
     pairs = _spread(pairs)
-    withf = _attach(pairs, fp_side, {"fp": "fa", "sk64": "ka"}, "a", shrink=False)
-    withf = _attach(withf, fp_side, {"fp": "fb", "sk64": "kb"}, "b", shrink=False)
+    withf = _attach(pairs, fp_side, {"fp": "fa"}, "a", shrink=False)
+    withf = _attach(withf, fp_side, {"fp": "fb"}, "b", shrink=False)
+    dot = F.aggregate(
+        F.zip_with("fa", "fb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos_pass = (
+        withf.withColumn("cosine", dot)
+        .filter(F.col("cosine") >= cos_thr)
+        .select("a", "b", "source", "cosine")
+    )
 
     pre_schema = StructType(
         [
@@ -143,33 +154,10 @@ def verify_audio_pairs(
         ]
     )
 
-    # the 64-point estimate is noisy (~±1 dB) → widen its margin 3 dB more
-    coarse_thr = sketch_thr - 3.0
-
-    def cos_filter(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            fa = np.stack(pdf["fa"].to_numpy())
-            fb = np.stack(pdf["fb"].to_numpy())
-            cosines = np.einsum("ij,ij->i", fa, fb).astype(np.float64)
-            cand = np.flatnonzero(cosines >= cos_thr)
-            ka = pdf["ka"].to_numpy()
-            kb = pdf["kb"].to_numpy()
-            snr = batch_pair_snr_db(ka[cand], kb[cand])
-            keep = cand[snr >= coarse_thr]
-            out = pdf.iloc[keep][["a", "b", "source"]].copy()
-            out["cosine"] = cosines[keep]
-            yield out
-
-    # phase 1→2 is one linear chain (two sequential joins, one UDF execution),
-    # so no checkpoint is needed between them — the survivor checkpoint below
-    # is the one that matters, because phase 3's semi-join shrink references
-    # its input twice
-    cos_pass = withf.mapInPandas(cos_filter, schema=pre_schema)
-
-    # phase 2: sketch SNR — the multi-KB sketch is only attached for pairs
-    # that already look parallel (never for the full candidate set)
+    # phase 2: decimated-PCM sketch SNR on the cosine survivors only — kills
+    # "fingerprint twins" (different clips whose spectra coincide) without
+    # ever touching audio bytes: their waveforms disagree, so sketch SNR ≈ 0.
+    # The multi-KB sketch is never attached to the full candidate set.
     sk_side = signatures.select("clip_id", "pcm_sketch")
     withs = _attach(cos_pass, sk_side, {"pcm_sketch": "sa"}, "a", shrink=False)
     withs = _attach(withs, sk_side, {"pcm_sketch": "sb"}, "b", shrink=False)
