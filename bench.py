@@ -119,7 +119,8 @@ def _pair_quality(clusters_df, oracle_df) -> dict:
 
 def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
                shuffle_partitions: "int | None" = None,
-               skip_queries: bool = False) -> dict:
+               skip_queries: bool = False,
+               data_dir: "str | None" = None) -> dict:
     from srpr_lsh_spark.config import DedupConfig
     from srpr_lsh_spark.plans.pipeline import run_dedup
     from srpr_lsh_spark.sources.synth import SynthParams, synthesize_clips
@@ -131,14 +132,22 @@ def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
     spark = _session(cpus, shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = DedupConfig(shuffle_partitions=shuffle_partitions)
-    params = SynthParams(
-        n_clips=n_clips, block_size=250, seed=42, min_dur_ms=300, max_dur_ms=1200
-    )
     tmp = tempfile.mkdtemp(prefix="srpr_bench_", dir=_scratch_dir())
     out: dict = {"sf": sf, "cpus": cpus, "n_clips": n_clips}
     try:
         t0 = time.time()
-        clips, oracle = synthesize_clips(spark, params, out_dir=f"{tmp}/data")
+        if data_dir:
+            # pre-synthesized shared corpus (scaling studies: both
+            # parallelism levels must read the IDENTICAL input)
+            full = spark.read.parquet(f"{data_dir}/clips_full")
+            clips = full.drop("cluster_id", "role")
+            oracle = full.select("clip_id", "cluster_id", "role")
+        else:
+            params = SynthParams(
+                n_clips=n_clips, block_size=250, seed=42,
+                min_dur_ms=300, max_dur_ms=1200,
+            )
+            clips, oracle = synthesize_clips(spark, params, out_dir=f"{tmp}/data")
         out["synth_sec"] = round(time.time() - t0, 2)
 
         t0 = time.time()
@@ -170,12 +179,13 @@ def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
     return out
 
 
-def _one_scaling_run(sf_dir: str, cpus: int, n_clips: int) -> dict:
+def _one_scaling_run(sf_dir: str, cpus: int, n_clips: int, data_dir: str) -> dict:
     cmd = [
         sys.executable, os.path.abspath(__file__),
         "--sf-dir", sf_dir, "--cpus", str(cpus),
         "--n-clips", str(n_clips), "--json-only",
         "--shuffle-partitions", "64", "--skip-queries",
+        "--data-dir", data_dir,
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
     line = [
@@ -183,6 +193,22 @@ def _one_scaling_run(sf_dir: str, cpus: int, n_clips: int) -> dict:
         if l.startswith("{") and '"metric"' in l
     ][-1]
     return json.loads(line)
+
+
+def _synthesize_shared_corpus(sf_dir: str, n_clips: int) -> str:
+    """One corpus for the whole study, synthesized once at high parallelism."""
+    from srpr_lsh_spark.sources.synth import SynthParams, synthesize_clips
+
+    data_dir = tempfile.mkdtemp(prefix="srpr_scaling_data_", dir=_scratch_dir())
+    spark = _session(16, 64)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        params = SynthParams(n_clips=n_clips, block_size=250, seed=42,
+                             min_dur_ms=300, max_dur_ms=1200)
+        synthesize_clips(spark, params, out_dir=data_dir)
+    finally:
+        spark.stop()
+    return data_dir
 
 
 def run_scaling(sf_dir: str, n_clips: int = 20000, n_lo: int = 4, n_hi: int = 16,
@@ -193,10 +219,14 @@ def run_scaling(sf_dir: str, n_clips: int = 20000, n_lo: int = 4, n_hi: int = 16
     pair (4, 16) keeps both runs un-oversubscribed; runs alternate between
     levels and each level takes its best of ``reps`` to suppress the host's
     memory-reclaim noise. efficiency = (T_lo / T_hi) / 4."""
+    data_dir = _synthesize_shared_corpus(sf_dir, n_clips)
     runs: dict[int, list] = {n_lo: [], n_hi: []}
-    for _ in range(reps):
-        for cpus in (n_lo, n_hi):
-            runs[cpus].append(_one_scaling_run(sf_dir, cpus, n_clips))
+    try:
+        for _ in range(reps):
+            for cpus in (n_lo, n_hi):
+                runs[cpus].append(_one_scaling_run(sf_dir, cpus, n_clips, data_dir))
+    finally:
+        shutil.rmtree(data_dir, ignore_errors=True)
     best = {c: min(rs, key=lambda r: r["value"]) for c, rs in runs.items()}
     t_lo, t_hi = best[n_lo]["value"], best[n_hi]["value"]
     eff = (t_lo / t_hi) / 4.0
@@ -233,6 +263,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--json-only", action="store_true")
     ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument("--data-dir", default=None)
     args = ap.parse_args()
 
     if args.scaling:
@@ -241,7 +272,7 @@ def main() -> None:
 
     r = bench_once(args.sf_dir, args.cpus, n_clips=args.n_clips,
                    shuffle_partitions=args.shuffle_partitions,
-                   skip_queries=args.skip_queries)
+                   skip_queries=args.skip_queries, data_dir=args.data_dir)
     line = {
         "metric": "e2e_dedup_sec",
         "value": r["dedup_sec"],

@@ -139,10 +139,14 @@ def verify_audio_pairs(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # survivors are tiny (≈ true-dup count); materialize once — the phase-2/3
+    # semi-join shrinks reference this frame four times, and uncheckpointed
+    # each reference would re-run the full candidate join+filter
     cos_pass = (
         withf.withColumn("cosine", dot)
         .filter(F.col("cosine") >= cos_thr)
         .select("a", "b", "source", "cosine")
+        .localCheckpoint(eager=True)
     )
 
     pre_schema = StructType(
@@ -157,10 +161,12 @@ def verify_audio_pairs(
     # phase 2: decimated-PCM sketch SNR on the cosine survivors only — kills
     # "fingerprint twins" (different clips whose spectra coincide) without
     # ever touching audio bytes: their waveforms disagree, so sketch SNR ≈ 0.
-    # The multi-KB sketch is never attached to the full candidate set.
+    # shrink=True: the sketch side is ~2 KB/row over the whole corpus — a
+    # fixed couple-hundred-MB shuffle if joined raw; semi-joined down to the
+    # survivor ids it broadcasts instead
     sk_side = signatures.select("clip_id", "pcm_sketch")
-    withs = _attach(cos_pass, sk_side, {"pcm_sketch": "sa"}, "a", shrink=False)
-    withs = _attach(withs, sk_side, {"pcm_sketch": "sb"}, "b", shrink=False)
+    withs = _attach(cos_pass, sk_side, {"pcm_sketch": "sa"}, "a")
+    withs = _attach(withs, sk_side, {"pcm_sketch": "sb"}, "b")
 
     def sketch_filter(batches):
         for pdf in batches:
