@@ -66,7 +66,14 @@ def retrieval_metrics(
         (F.col("rel") / F.log2(F.col("rnk") + 1)).alias("dcg_term"),
     )
     truth_sizes = t.groupBy("query_id").agg(F.count("*").alias("n_truth"))
-    # ideal DCG: truth items sorted by relevance desc, Σ_{i=1..min(n,k)} rel_i/log2(i+1)
+    # ideal DCG: truth items sorted by relevance desc, Σ_{i=1..min(n,k)} rel_i/log2(i+1).
+    # INTENTIONAL DIVERGENCE from the reference: MetricsCalculator.h:175
+    # computes IDCG over the ground-truth list in its given (score-ranked)
+    # order, which is not the relevance-sorted ideal — its graded nDCG can
+    # exceed 1 when ratings disagree with the truth ranking. We use the
+    # standard definition (relevance-desc ideal), so nDCG ∈ [0, 1] always;
+    # values coincide whenever the truth list is already relevance-sorted
+    # (the binary-relevance case, which is what the oracle queries exercise).
     wt = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("item_id"))
     idcg = (
         t.withColumn("pos", F.row_number().over(wt))

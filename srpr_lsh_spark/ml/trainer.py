@@ -11,8 +11,10 @@ execution model as **synchronous full-batch gradient ascent**:
 - per-entity gradient sums and the epoch log-likelihood reduce JVM-side
   (``groupBy().sum()`` per dimension — map-side combinable, no skew risk
   because the partials are already per-partition-unique);
-- the driver applies ``θ += lr · (Σgrad − λ · touches · θ)`` — the full-batch
-  equivalent of the reference's per-triplet ``θ += lr(grad − λθ)``.
+- the driver applies ``θ ← θ·(1−lr·λ)^touches + lr · Σgrad`` — the compounded
+  full-batch equivalent of the reference's per-triplet ``θ += lr(grad − λθ)``
+  (always contractive, unlike the naive ``1 − lr·λ·touches`` factor which
+  flips sign for entities touched by more than ``1/(lr·λ)`` triplets).
 
 Why not a literal sequential SGD: order-dependent updates can't parallelize
 without either giving up determinism (hogwild) or serializing on the driver.
@@ -188,7 +190,13 @@ def _epoch(spark, mapped: DataFrame, U, V, kernel, d: int, lr: float, lam: float
         idx = part["idx"].to_numpy()
         grads = part[gcols].to_numpy(dtype=np.float64)
         cnt = part["cnt"].to_numpy(dtype=np.float64)[:, None]
-        block[idx] += lr * (grads - lam * cnt * block[idx])
+        # compounded per-triplet decay: the reference applies θ←θ(1−lrλ)+lr·g
+        # once per touching triplet, so cnt touches contract by (1−lrλ)^cnt.
+        # The naive full-batch form θ += lr(Σg − λ·cnt·θ) has factor
+        # (1 − lr·λ·cnt), which goes NEGATIVE (and diverges) for entities with
+        # cnt > 1/(lr·λ) — e.g. ~5000 touches at BPR defaults — exactly the
+        # popular-item skew a large corpus produces.
+        block[idx] = block[idx] * (1.0 - lr * lam) ** cnt + lr * grads
     return U2, V2, loglik, n_triplets
 
 

@@ -39,14 +39,19 @@ def load_vectors(
     the caller should recompute (retrain) on None."""
     if not os.path.exists(path):
         return None
-    with open(path) as f:
-        header = f.readline().split()
-        if len(header) != 3:
-            return None
-        fu, fi, fd = (int(x) for x in header)
-        if (fu, fi, fd) != (n_users, n_items, d):
-            return None
-        data = np.loadtxt(f, dtype=np.float64, max_rows=fu + fi)
+    try:
+        with open(path) as f:
+            header = f.readline().split()
+            if len(header) != 3:
+                return None
+            fu, fi, fd = (int(x) for x in header)
+            if (fu, fi, fd) != (n_users, n_items, d):
+                return None
+            data = np.loadtxt(f, dtype=np.float64, max_rows=fu + fi)
+    except ValueError:
+        # corrupt header token or malformed row: any unreadable file is a
+        # recompute trigger, never a crash (MatrixFactorization.h:129-141)
+        return None
     if data.ndim == 1:
         data = data.reshape(1, -1)
     if data.shape != (fu + fi, fd):

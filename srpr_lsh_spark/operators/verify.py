@@ -128,8 +128,10 @@ def verify_audio_pairs(
     # masse), and almost all of it dies at this test — so the test runs in
     # whole-stage codegen on a 128-byte column, with NO python round-trip and
     # no sketch bytes attached. Fingerprints are L2-normalized at creation;
-    # zero vectors (silence) yield a null cosine and are dropped, matching
-    # the reference's zero-magnitude guard (lsh.h:151-155).
+    # a zero vector (silence) gives dot = 0.0 — NOT null — so such pairs are
+    # dropped only because cosine_threshold > 0. That positive threshold is
+    # the zero-magnitude guard here (the reference's explicit branch is
+    # lsh.h:151-155); don't set cosine_threshold ≤ 0.
     fp_side = signatures.select("clip_id", "fp")
     pairs = _spread(pairs)
     withf = _attach(pairs, fp_side, {"fp": "fa"}, "a", shrink=False)

@@ -175,6 +175,21 @@ class TestTrainers:
         np.testing.assert_allclose(m1.U, m2.U, rtol=1e-8, atol=1e-10)
         np.testing.assert_allclose(m1.V, m2.V, rtol=1e-8, atol=1e-10)
 
+    def test_high_degree_entity_does_not_diverge(self, spark):
+        """Weight-decay regression: an entity touched by cnt > 1/(lr·λ)
+        triplets per epoch must still contract, not sign-flip and diverge.
+        One mega-popular neg item appears in every triplet (cnt=600 >
+        1/(0.05·0.05)=400); with the naive full-batch decay factor
+        (1 − lr·λ·cnt) = −0.5 its norm would double-ish per epoch."""
+        from srpr_lsh_spark.ml.trainer import train_bpr
+
+        rows = [(u, 1 + (t % 40), 0) for u in range(10) for t in range(60)]
+        trip = spark.createDataFrame(rows, ["user_id", "pos_item", "neg_item"])
+        m = train_bpr(spark, trip, d=4, epochs=8, learning_rate=0.05, lam=0.05)
+        hot = m.item_vector(0)
+        assert np.all(np.isfinite(hot)) and np.linalg.norm(hot) < 5.0
+        assert np.isfinite(m.history[-1]["loglik"])
+
     def test_srpr_converges(self, spark, planted):
         from srpr_lsh_spark.ml.trainer import train_srpr
 
@@ -215,3 +230,15 @@ class TestVectorsIO:
         assert load_vectors(p, 3, 5, 8) is None   # d mismatch
         assert load_vectors(p, 4, 5, 4) is None   # n_users mismatch
         assert load_vectors(str(tmp_path / "absent.txt"), 3, 5, 4) is None
+
+    def test_corrupt_file_triggers_recompute(self, tmp_path):
+        """Unreadable content (non-numeric header / malformed rows) is a
+        recompute trigger too, not a crash (MatrixFactorization.h:129-141)."""
+        from srpr_lsh_spark.ml.vectors_io import load_vectors
+
+        p = tmp_path / "bad_header.txt"
+        p.write_text("three 5 4\n0 0 0 0\n")
+        assert load_vectors(str(p), 3, 5, 4) is None
+        p2 = tmp_path / "bad_rows.txt"
+        p2.write_text("1 1 4\n0.1 garbage 0.3 0.4\n0.1 0.2 0.3 0.4\n")
+        assert load_vectors(str(p2), 1, 1, 4) is None
