@@ -8,12 +8,14 @@ target sf, plus per-query seconds for representative relational queries at
 
     python bench.py                       # sf from $SPARK_GRAFT_SF_DIR, local[$SPARK_GRAFT_CPUS]
     python bench.py --cpus 8              # pin parallelism
-    python bench.py --scaling             # run the N vs 4N parallelism study
-                                          # (local[8] vs local[32]) and write BENCH/BASELINE.md
+    python bench.py --executors 4 --cpus 4  # local-cluster[4,4,8g]: separate executor JVMs
+    python bench.py --scaling             # N vs 4N EXECUTOR study (local-cluster[1,4,8g]
+                                          # vs local-cluster[4,4,8g]) → writes BENCH/BASELINE.md
 
 Scaling evidence (BASELINE.json north_rule; no real cluster in this sandbox):
-the identical job at two parallelism levels on the same input, reporting
-throughput at both and efficiency = (T_8 / T_32) / 4.
+the identical job on the identical input at 1 vs 4 process-isolated executor
+JVMs, reporting throughput at both, per-stage decomposition, and
+efficiency = (T_1 / T_4) / 4.
 """
 
 from __future__ import annotations
@@ -58,17 +60,34 @@ def _scratch_dir() -> str:
     return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 
-def _session(cpus: int, shuffle_partitions: "int | None" = None):
+def _session(cpus: int, shuffle_partitions: "int | None" = None,
+             executors: "int | None" = None, exec_mem_mb: int = 8192):
+    """local[cpus] session, or — when ``executors`` is set — a process-isolated
+    ``local-cluster[executors, cpus, exec_mem_mb]`` session: each executor is
+    its OWN JVM with its own heap, GC, allocator arenas, and python workers.
+    This is the sandbox's honest stand-in for an N-executor cluster (the
+    north_rule's scaling criterion), unlike local[N] threads which share one
+    JVM and so conflate GC/allocator contention with true shuffle cost."""
     from pyspark.sql import SparkSession
 
     from srpr_lsh_spark.config import tune_allocator_env
 
     tune_allocator_env()  # before JVM launch: python workers inherit it
+    # standalone-mode executors take their scratch dirs from SPARK_LOCAL_DIRS,
+    # not spark.local.dir (Spark warns exactly this) — set both
+    scratch = os.path.join(_scratch_dir(), f"spark_local_{executors or 0}x{cpus}")
+    os.environ["SPARK_LOCAL_DIRS"] = scratch
 
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(f"srpr-lsh-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus * 2, 8)))
+    if executors is None:
+        master = f"local[{cpus}]"
+    else:
+        master = f"local-cluster[{executors},{cpus},{exec_mem_mb}]"
+    total_cores = cpus * (executors or 1)
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(f"srpr-lsh-bench-{master}")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(total_cores * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # wide binary rows: bound each python worker's per-batch buffer
@@ -80,12 +99,47 @@ def _session(cpus: int, shuffle_partitions: "int | None" = None):
         # at bench scale — broadcasting them removes the candidate-pair
         # shuffles; at petabyte scale AQE falls back to SMJ on its own
         .config("spark.sql.autoBroadcastJoinThreshold", "128m")
-        .config("spark.driver.memory", "24g")
-        .config("spark.local.dir", os.path.join(_scratch_dir(), f"spark_local_{cpus}"))
+        .config("spark.driver.memory", "24g" if executors is None else "8g")
+        .config("spark.local.dir", scratch)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    if executors is not None:
+        # executor JVMs are launched by the in-process standalone Worker;
+        # make the allocator env + python interpreter explicit rather than
+        # relying on transitive env inheritance
+        b = (
+            b.config("spark.executor.memory", f"{exec_mem_mb}m")
+            .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+            .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+            .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
+            .config("spark.pyspark.python", sys.executable)
+        )
+    spark = b.getOrCreate()
+    if executors is not None:
+        # executor python workers run in the executor's work dir, not the
+        # repo — ship the package the way a real cluster submit would
+        # (spark-submit --py-files, north_rule): zip srpr_lsh_spark and
+        # distribute it to every executor's sys.path.
+        spark.sparkContext.addPyFile(_package_zip())
+    return spark
+
+
+def _package_zip() -> str:
+    """Zip srpr_lsh_spark into the scratch dir (idempotent per process)."""
+    import zipfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.join(repo, "srpr_lsh_spark")
+    out = os.path.join(_scratch_dir(), f"srpr_lsh_spark_{os.getpid()}.zip")
+    if not os.path.exists(out):
+        with zipfile.ZipFile(out, "w") as z:
+            for root, _dirs, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        p = os.path.join(root, fn)
+                        z.write(p, os.path.relpath(p, repo))
+    return out
 
 
 def _pair_quality(clusters_df, oracle_df) -> dict:
@@ -120,7 +174,8 @@ def _pair_quality(clusters_df, oracle_df) -> dict:
 def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
                shuffle_partitions: "int | None" = None,
                skip_queries: bool = False,
-               data_dir: "str | None" = None) -> dict:
+               data_dir: "str | None" = None,
+               executors: "int | None" = None) -> dict:
     from srpr_lsh_spark.config import DedupConfig
     from srpr_lsh_spark.plans.pipeline import run_dedup
     from srpr_lsh_spark.sources.synth import SynthParams, synthesize_clips
@@ -128,12 +183,14 @@ def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
     sf = _sf_of(sf_dir)
     if n_clips is None:
         n_clips = max(2000, int(sf * 200_000))  # sf0.1 → 20k clips
-    shuffle_partitions = shuffle_partitions or max(cpus * 2, 8)
-    spark = _session(cpus, shuffle_partitions)
+    total_cores = cpus * (executors or 1)
+    shuffle_partitions = shuffle_partitions or max(total_cores * 2, 8)
+    spark = _session(cpus, shuffle_partitions, executors=executors)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = DedupConfig(shuffle_partitions=shuffle_partitions)
     tmp = tempfile.mkdtemp(prefix="srpr_bench_", dir=_scratch_dir())
-    out: dict = {"sf": sf, "cpus": cpus, "n_clips": n_clips}
+    out: dict = {"sf": sf, "cpus": cpus, "n_clips": n_clips,
+                 "executors": executors, "total_cores": total_cores}
     try:
         t0 = time.time()
         if data_dir:
@@ -179,10 +236,12 @@ def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
     return out
 
 
-def _one_scaling_run(sf_dir: str, cpus: int, n_clips: int, data_dir: str) -> dict:
+def _one_scaling_run(sf_dir: str, n_exec: int, cores: int, n_clips: int,
+                     data_dir: str) -> dict:
     cmd = [
         sys.executable, os.path.abspath(__file__),
-        "--sf-dir", sf_dir, "--cpus", str(cpus),
+        "--sf-dir", sf_dir, "--cpus", str(cores),
+        "--executors", str(n_exec),
         "--n-clips", str(n_clips), "--json-only",
         "--shuffle-partitions", "64", "--skip-queries",
         "--data-dir", data_dir,
@@ -211,46 +270,116 @@ def _synthesize_shared_corpus(sf_dir: str, n_clips: int) -> str:
     return data_dir
 
 
-def run_scaling(sf_dir: str, n_clips: int = 20000, n_lo: int = 4, n_hi: int = 16,
-                reps: int = 3) -> None:
-    """Identical job at local[n_lo] and local[n_hi] (n_hi = 4*n_lo), the
-    sandbox stand-in for N vs 4N executors. The host is a single shared
-    32-core box: each Spark task also drives a Python worker process, so the
-    pair (4, 16) keeps both runs un-oversubscribed; runs alternate between
-    levels and each level takes its best of ``reps`` to suppress the host's
-    memory-reclaim noise. efficiency = (T_lo / T_hi) / 4."""
+STAGE_ORDER = ("signatures", "candidates", "verified_pairs", "clusters")
+
+
+def run_scaling(sf_dir: str, n_clips: int = 20000, n_lo: int = 1, n_hi: int = 4,
+                cores: int = 4, reps: int = 3,
+                out_path: str = "BENCH/BASELINE.md") -> None:
+    """The north_rule's N → 4N **executor** scaling criterion, evidenced with
+    process-isolated executor JVMs: the identical job on the identical corpus
+    at ``local-cluster[n_lo,cores,8g]`` vs ``local-cluster[n_hi,cores,8g]``
+    (n_hi = 4·n_lo). Each executor is a separate JVM with its own heap, GC,
+    malloc arenas, and python workers — the honest sandbox stand-in for a
+    multi-executor cluster, and unlike thread-mode local[N] it separates
+    JVM-internal contention from true shuffle cost. The host is ONE shared
+    32-core box, so (1×4, 4×4) cores keeps both levels un-oversubscribed
+    (each Spark core also drives a python worker process). Runs alternate
+    between levels; each level takes its best of ``reps`` (this host's page
+    reclaim makes identical runs vary multi-x; see BENCH/VARIANCE.md).
+    efficiency = (T_lo / T_hi) / (n_hi / n_lo)."""
+    ratio = n_hi / n_lo
     data_dir = _synthesize_shared_corpus(sf_dir, n_clips)
     runs: dict[int, list] = {n_lo: [], n_hi: []}
     try:
         for _ in range(reps):
-            for cpus in (n_lo, n_hi):
-                runs[cpus].append(_one_scaling_run(sf_dir, cpus, n_clips, data_dir))
+            for n_exec in (n_lo, n_hi):
+                runs[n_exec].append(
+                    _one_scaling_run(sf_dir, n_exec, cores, n_clips, data_dir))
     finally:
         shutil.rmtree(data_dir, ignore_errors=True)
     best = {c: min(rs, key=lambda r: r["value"]) for c, rs in runs.items()}
     t_lo, t_hi = best[n_lo]["value"], best[n_hi]["value"]
-    eff = (t_lo / t_hi) / 4.0
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(
-            "# BENCH — throughput + two-parallelism scaling evidence\n\n"
-            "End-to-end dedup (signatures → banding/candidates → verify →\n"
-            "connected components; synthesis excluded) on the identical\n"
-            f"deterministic corpus of {n_clips} clips, local[{n_lo}] vs\n"
-            f"local[{n_hi}] — the sandbox stand-in for N vs 4N executors\n"
-            "(BASELINE.json north_rule). Each Spark task drives a Python\n"
-            "worker process, so (4, 16) keeps both runs inside the host's 32\n"
-            "cores; best of "
-            f"{reps} alternating runs per level (shared-host noise).\n\n"
-            "| parallelism | dedup wall (s) | clips/sec |\n|---|---|---|\n"
-            f"| local[{n_lo}]  | {t_lo} | {best[n_lo]['clips_per_sec']} |\n"
-            f"| local[{n_hi}] | {t_hi} | {best[n_hi]['clips_per_sec']} |\n\n"
-            f"**Scaling efficiency (T_{n_lo} / T_{n_hi}) / 4 = {eff:.3f}** "
-            f"(target ≥ 0.8)\n\n"
-            f"All runs:\n```json\n{json.dumps(runs, indent=2)}\n```\n"
-        )
+    eff = (t_lo / t_hi) / ratio
+
+    # per-stage decomposition: best run's stage seconds at each level +
+    # Amdahl split (serial floor = stages that do not speed up)
+    stage_rows = []
+    for st in STAGE_ORDER:
+        a = best[n_lo].get("stage_secs", {}).get(st)
+        b = best[n_hi].get("stage_secs", {}).get(st)
+        if a is None or b is None:
+            continue
+        stage_rows.append((st, a, b, (a / b) if b else float("inf")))
+    # Amdahl: T_hi/T_lo = s + p/ratio with s+p=1 → measured parallel fraction
+    frac = max(0.0, min(1.0, (1.0 - t_hi / t_lo) * ratio / (ratio - 1.0)))
+
+    lvl = lambda n: f"local-cluster[{n},{cores},8g]"
+    lines = [
+        "# BENCH — N vs 4N executor scaling evidence "
+        "(machine-generated by `python bench.py --scaling`)",
+        "",
+        "End-to-end dedup (signatures → banding/candidates → verify → connected",
+        f"components; synthesis excluded) on ONE shared pre-synthesized corpus of",
+        f"{n_clips} deterministic clips. Levels are PROCESS-ISOLATED executor",
+        f"JVMs — `{lvl(n_lo)}` vs `{lvl(n_hi)}` — each executor its own JVM,",
+        "heap, GC, allocator arenas, and python workers: the sandbox stand-in",
+        "for N vs 4N cluster executors (BASELINE.json north_rule; no real",
+        "cluster available here). Runs alternate between levels, best of",
+        f"{reps} per level (shared-host noise; raw runs below).",
+        "",
+        "## Headline",
+        "",
+        "| executors | master | dedup wall (s) | clips/sec |",
+        "|---|---|---|---|",
+        f"| {n_lo} | `{lvl(n_lo)}` | {t_lo} | {best[n_lo]['clips_per_sec']} |",
+        f"| {n_hi} | `{lvl(n_hi)}` | {t_hi} | {best[n_hi]['clips_per_sec']} |",
+        "",
+        f"**Scaling efficiency (T_{n_lo}exec / T_{n_hi}exec) / {ratio:.0f} "
+        f"= {eff:.3f}** (target ≥ 0.8)",
+        "",
+        f"Recall/precision vs planted oracle at both levels: "
+        f"{best[n_lo]['dup_pair_recall']} / {best[n_lo]['dup_pair_precision']} "
+        f"({n_lo} exec), "
+        f"{best[n_hi]['dup_pair_recall']} / {best[n_hi]['dup_pair_precision']} "
+        f"({n_hi} exec).",
+        "",
+        "## Per-stage decomposition (best run per level)",
+        "",
+        f"| stage | {n_lo} exec (s) | {n_hi} exec (s) | speedup |",
+        "|---|---|---|---|",
+    ]
+    for st, a, b_, sp in stage_rows:
+        lines.append(f"| {st} | {a} | {b_} | {sp:.2f}× |")
+    lines += [
+        "",
+        f"Measured Amdahl parallel fraction p = (1 − T_hi/T_lo)·{ratio:.0f}/"
+        f"{ratio - 1:.0f} = **{frac:.3f}**"
+        f" (perfect {ratio:.0f}× scaling ⇒ p = 1; the serial remainder is"
+        " driver scheduling, CC convergence actions, and checkpoint commits,"
+        " which are corpus-size-independent and amortize away at larger"
+        " inputs).",
+        "",
+        "## Reproduce",
+        "",
+        "```",
+        f"python bench.py --scaling --n-clips {n_clips} --reps {reps}"
+        f"   # writes this file",
+        "python bench.py          # driver's per-round single-line bench",
+        "```",
+        "",
+        "All raw runs:",
+        "```json",
+        json.dumps(runs, indent=2),
+        "```",
+        "",
+    ]
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines))
     print(json.dumps({"scaling_efficiency": round(eff, 3),
-                      f"t{n_lo}": t_lo, f"t{n_hi}": t_hi}))
+                      "parallel_fraction": round(frac, 3),
+                      f"t{n_lo}x{cores}": t_lo, f"t{n_hi}x{cores}": t_hi}))
 
 
 def main() -> None:
@@ -264,15 +393,20 @@ def main() -> None:
     ap.add_argument("--json-only", action="store_true")
     ap.add_argument("--skip-queries", action="store_true")
     ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--executors", type=int, default=None,
+                    help="run as local-cluster[N,cpus,8g]: N separate executor JVMs")
+    ap.add_argument("--out", default="BENCH/BASELINE.md")
     args = ap.parse_args()
 
     if args.scaling:
-        run_scaling(args.sf_dir, n_clips=args.n_clips or 20000, reps=args.reps)
+        run_scaling(args.sf_dir, n_clips=args.n_clips or 20000, reps=args.reps,
+                    out_path=args.out)
         return
 
     r = bench_once(args.sf_dir, args.cpus, n_clips=args.n_clips,
                    shuffle_partitions=args.shuffle_partitions,
-                   skip_queries=args.skip_queries, data_dir=args.data_dir)
+                   skip_queries=args.skip_queries, data_dir=args.data_dir,
+                   executors=args.executors)
     line = {
         "metric": "e2e_dedup_sec",
         "value": r["dedup_sec"],
@@ -282,6 +416,7 @@ def main() -> None:
         "clips_per_sec": r["clips_per_sec"],
         "n_clips": r["n_clips"],
         "cpus": r["cpus"],
+        "executors": r.get("executors"),
         "synth_sec": r["synth_sec"],
         "n_clusters": r["n_clusters"],
         "stage_secs": r.get("stage_secs", {}),
