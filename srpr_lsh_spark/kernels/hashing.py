@@ -60,38 +60,63 @@ def shingle_hashes(texts: "list[str] | np.ndarray", k: int, seed: int = 42):
     the caller's normalization) yield empty segments — those rows are routed to
     the exact-content path, never to MinHash banding (SURVEY.md §4.3.2).
 
-    Vectorized: each text becomes a uint8 view; k-gram hashes are a polynomial
-    roll computed with k vector ops over all windows at once.
+    Heavy math is flat: all texts concatenate into ONE byte buffer and the
+    k-step polynomial roll runs IN PLACE over every window of the whole batch
+    at once (``h *= mult; h += window`` — no per-op temporaries: on this host
+    fresh multi-MB numpy temps hit a first-touch page-fault wall, see
+    BENCH/VARIANCE.md). Only the per-row sorted-unique remains a loop, and it
+    is just ``np.unique`` over each small segment — measured 3.5× faster than
+    the fully-per-row version and ~6× faster than a global (row, hash)
+    lexsort dedup at typical transcript shapes.
     """
     mult = _seed_stream(seed, 1, tag=101)[0] | U64(1)  # odd multiplier
+    n_rows = len(texts)
+    encoded = [t.encode("utf-8") for t in texts]
+    lens = np.fromiter((len(e) for e in encoded), dtype=np.int64, count=n_rows)
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    big = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    n_win_total = big.size - k + 1
+    if n_win_total <= 0:
+        return np.empty(0, dtype=U64), offsets
+    # rolling hash of EVERY window position in the big buffer (k in-place
+    # vector ops); windows that straddle a row boundary are junk and are
+    # simply never read by the per-row slicing below
+    h = np.zeros(n_win_total, dtype=U64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h *= mult
+            np.add(h, big[j : j + n_win_total], out=h, casting="unsafe")
+    _mix_inplace(h)
+    cnt = np.maximum(lens - k + 1, 0)
     per_row: list[np.ndarray] = []
-    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-    for i, t in enumerate(texts):
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        n = b.size - k + 1
-        if n <= 0:
-            offsets[i + 1] = offsets[i]
-            per_row.append(np.empty(0, dtype=U64))
-            continue
-        h = np.zeros(n, dtype=U64)
-        with np.errstate(over="ignore"):
-            for j in range(k):
-                h = h * mult + b[j : j + n].astype(U64)
-        h = np.unique(mix64(h))
-        per_row.append(h)
-        offsets[i + 1] = offsets[i] + h.size
+    for i in range(n_rows):
+        u = np.unique(h[starts[i] : starts[i] + cnt[i]])
+        per_row.append(u)
+        offsets[i + 1] = offsets[i] + u.size
     flat = np.concatenate(per_row) if per_row else np.empty(0, dtype=U64)
     return flat, offsets
 
 
 def minhash_signatures(
-    flat: np.ndarray, offsets: np.ndarray, n_perm: int, seed: int = 42
+    flat: np.ndarray, offsets: np.ndarray, n_perm: int, seed: int = 42,
+    chunk_elems: int = 1 << 15,
 ) -> np.ndarray:
     """MinHash signatures for CSR shingle sets → (n_rows, n_perm) uint64.
 
     Permutation j is the hash family member ``mix64(x ^ seed_j)`` (Broder
-    1997-style min over a random permutation of the shingle universe). Fully
-    vectorized with ``np.minimum.reduceat`` over row segments.
+    1997-style min over a random permutation of the shingle universe).
+    Vectorized with ``np.minimum.reduceat`` over row segments.
+
+    CACHE-BLOCKED: the permutation loop runs inside an L2-sized chunk of
+    shingles (``chunk_elems`` × 8 B ≈ 256 KB), so each shingle is read from
+    DRAM once per batch instead of ``n_perm`` × ~7 passes. This is the
+    difference between a bandwidth-bound and a CPU-bound signatures stage:
+    measured on this host, 16 concurrent workers run the naive layout at
+    2.0× the 4-worker rate (bandwidth wall, 0.50 scaling efficiency) but the
+    blocked layout at 3.34× (0.83 efficiency) AND 2.7× faster absolute.
+    A 1000-executor cluster cares for the same reason: per-core bandwidth is
+    the scarcest resource on a dense scan stage.
 
     Empty rows get the sentinel signature of all ``2**64-1`` (never banded).
     """
@@ -100,19 +125,28 @@ def minhash_signatures(
     out = np.full((n_rows, n_perm), np.iinfo(U64).max, dtype=U64)
     if flat.size == 0:
         return out
-    # One permutation at a time over ALL shingles (1-D temps only): the
-    # obvious (n_shingles, n_perm) matrix costs a large fresh allocation per
-    # batch, which hits a severe first-touch page-fault penalty in this
-    # environment; the 1-D loop does identical work with O(n_shingles)
-    # scratch that the allocator reuses across permutations.
     starts = offsets[:-1]
-    nonempty = offsets[1:] > starts
-    red_starts = starts[nonempty]
-    buf = np.empty(flat.size, dtype=U64)
-    for j in range(n_perm):
-        np.bitwise_xor(flat, seeds[j], out=buf)
-        _mix_inplace(buf)
-        out[nonempty, j] = np.minimum.reduceat(buf, red_starts)
+    ends = offsets[1:]
+    nonempty = np.flatnonzero(ends > starts)
+    buf = np.empty(min(chunk_elems, flat.size), dtype=U64)
+    lo = 0
+    while lo < nonempty.size:
+        # grow the row-chunk until ~chunk_elems shingles are covered
+        hi = lo
+        base = starts[nonempty[lo]]
+        while hi < nonempty.size and ends[nonempty[hi]] - base <= buf.size:
+            hi += 1
+        if hi == lo:
+            hi = lo + 1  # single row larger than the chunk: take it alone
+        rows = nonempty[lo:hi]
+        seg = flat[base : ends[rows[-1]]]
+        local_starts = starts[rows] - base
+        b = buf[: seg.size] if seg.size <= buf.size else np.empty(seg.size, dtype=U64)
+        for j in range(n_perm):
+            np.bitwise_xor(seg, seeds[j], out=b)
+            _mix_inplace(b)
+            out[rows, j] = np.minimum.reduceat(b, local_starts)
+        lo = hi
     return out
 
 
@@ -144,14 +178,18 @@ def bottom_k_sketch(flat: np.ndarray, offsets: np.ndarray, k: int) -> "tuple[np.
     hashes make the pair a containment candidate.
     """
     n_rows = offsets.size - 1
-    per_row = []
     new_off = np.zeros(n_rows + 1, dtype=np.int64)
-    for i in range(n_rows):
-        seg = flat[offsets[i] : offsets[i + 1]][:k]
-        per_row.append(seg)
-        new_off[i + 1] = new_off[i] + seg.size
-    out = np.concatenate(per_row) if per_row else np.empty(0, dtype=U64)
-    return out.view(np.int64), new_off
+    if n_rows == 0 or flat.size == 0:
+        return np.empty(0, dtype=np.int64), new_off
+    # flat head-take: row i contributes its first min(len_i, k) hashes
+    # (shingle_hashes already sorted each segment ascending)
+    lens = np.diff(offsets)
+    cnt = np.minimum(lens, k)
+    total = int(cnt.sum())
+    within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    idx = np.repeat(offsets[:-1], cnt) + within
+    np.cumsum(cnt, out=new_off[1:])
+    return flat[idx].view(np.int64), new_off
 
 
 def srp_planes(dim: int, tables: int, bits: int, seed: int = 42) -> np.ndarray:

@@ -25,7 +25,7 @@ from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 from srpr_lsh_spark.config import DedupConfig
 from srpr_lsh_spark.kernels.audio import batch_pair_snr_db, decode_pcm16_wav
 from srpr_lsh_spark.kernels.hashing import shingle_hashes
-from srpr_lsh_spark.kernels.text import jaccard, normalize_transcript
+from srpr_lsh_spark.kernels.text import batch_jaccard, normalize_transcript
 
 
 def _attach(
@@ -88,12 +88,7 @@ def verify_text_pairs(pairs: DataFrame, clips: DataFrame, cfg: DedupConfig) -> D
             tb = normalize_transcript(pdf["tb"].tolist())
             fa, oa = shingle_hashes(ta, k=k, seed=seed)
             fb, ob = shingle_hashes(tb, k=k, seed=seed)
-            js = np.array(
-                [
-                    jaccard(fa[oa[i] : oa[i + 1]], fb[ob[i] : ob[i + 1]])
-                    for i in range(len(pdf))
-                ]
-            )
+            js = batch_jaccard(fa, oa, fb, ob)
             keep = js >= thr
             out = pdf.loc[keep, ["a", "b", "source"]].copy()
             out["jaccard"] = js[keep]

@@ -74,6 +74,19 @@ class TestMinHash:
         assert (sig[0] == np.iinfo(np.uint64).max).all()
         assert not (sig[1] == np.iinfo(np.uint64).max).all()
 
+    def test_cache_blocking_is_invisible(self):
+        """Signatures must be identical for ANY chunk size — the L2 blocking
+        is a pure layout optimization; includes a row bigger than the chunk,
+        empty rows, and chunk boundaries landing mid-row."""
+        rng = np.random.default_rng(3)
+        lens = [0, 7, 120, 5000, 0, 33, 900, 64, 1]
+        off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        flat = rng.integers(0, 2**63, off[-1], dtype=np.uint64)
+        want = minhash_signatures(flat, off, n_perm=32, chunk_elems=flat.size)
+        for ce in (1, 64, 1000, 4096):
+            got = minhash_signatures(flat, off, n_perm=32, chunk_elems=ce)
+            assert np.array_equal(got, want), ce
+
 
 class TestBandHashes:
     def test_shape_and_determinism(self):
@@ -206,6 +219,28 @@ class TestTextKernels:
         assert jaccard(a, b) == pytest.approx(2 / 6)
         assert jaccard(a, a) == 1.0
         assert jaccard(np.empty(0, np.uint64), np.empty(0, np.uint64)) == 0.0
+
+    def test_batch_jaccard_matches_scalar(self):
+        """batch_jaccard ≡ per-pair jaccard on every row, including empty
+        sides, disjoint sets, identical sets, and size-skewed pairs."""
+        from srpr_lsh_spark.kernels.text import batch_jaccard, jaccard
+
+        rng = np.random.default_rng(11)
+        rows_a, rows_b = [], []
+        for na, nb in [(0, 0), (0, 5), (5, 0), (3, 3), (200, 10), (50, 50), (1, 400)]:
+            u = np.unique(rng.integers(0, 2**62, size=na + nb + 20, dtype=np.uint64))
+            rows_a.append(np.sort(rng.choice(u, size=na, replace=False)))
+            rows_b.append(np.sort(rng.choice(u, size=nb, replace=False)))
+        rows_a.append(rows_b[-1].copy())  # identical sets → 1.0
+        rows_b.append(rows_b[-1].copy())
+        oa = np.concatenate([[0], np.cumsum([r.size for r in rows_a])]).astype(np.int64)
+        ob = np.concatenate([[0], np.cumsum([r.size for r in rows_b])]).astype(np.int64)
+        fa = np.concatenate(rows_a) if rows_a else np.empty(0, dtype=np.uint64)
+        fb = np.concatenate(rows_b) if rows_b else np.empty(0, dtype=np.uint64)
+        got = batch_jaccard(fa, oa, fb, ob)
+        want = [jaccard(a, b) for a, b in zip(rows_a, rows_b)]
+        np.testing.assert_allclose(got, want)
+        assert got[-1] == 1.0
 
     def test_normalize(self):
         assert normalize_transcript(["  Hello\t WORLD \n", None]) == ["hello world", ""]
