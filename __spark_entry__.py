@@ -72,6 +72,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bpr_training"] = lambda s, d: tr.bpr_training_curve(s, d, _CFG)
     out["srpr_training"] = lambda s, d: tr.srpr_training_curve(s, d, _CFG)
     out["model_hash_sweep"] = lambda s, d: tr.model_hash_sweep(s, d, _CFG)
+    # the paper's core claim on the HARD (angle-graded) geometry: SRPR's
+    # hash_degradation < BPR's at every grid point (pinned by
+    # tests/test_ml.py::test_srpr_beats_bpr_on_angle_geometry)
+    out["embedding_hash_sweep"] = lambda s, d: tr.embedding_hash_sweep(s, d, _CFG)
     return out
 
 

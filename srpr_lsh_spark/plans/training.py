@@ -31,6 +31,65 @@ def orders_triplets(spark: SparkSession, sf_dir: str, modulus: int = 50) -> Data
     )
 
 
+def embedding_triplets(
+    spark: SparkSession,
+    sf_dir: str,
+    n_users: int = 25,
+    n_items: int = 300,
+    margin: float = 0.15,
+    cap: int = 120,
+) -> DataFrame:
+    """Angle-graded preference triplets from the embeddings table: the HARD
+    geometry for hashing robustness. Preference strength is the COSINE of a
+    user vector to an item vector (computed JVM-side), so ranking information
+    lives entirely in angles — exactly what b-bit SRP hashing quantizes.
+    On these triplets the paper's core claim is measurable: BPR's dot-product
+    objective can park ranking signal in magnitudes that hashing destroys,
+    while SRPR's Eq.9 objective optimizes the angles the hash preserves
+    (main.cpp:122-166 is the reference's version of this experiment).
+
+    Bounded regardless of sf: ``n_users`` × ``n_items`` rows pre-pair-join."""
+    from srpr_lsh_spark.operators.ann import cosine_expr
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    users = emb.filter(F.col("vec_id") < n_users).select(
+        F.col("vec_id").alias("user_id"), F.col("embedding").alias("ue")
+    )
+    items = emb.filter(
+        (F.col("vec_id") >= n_users) & (F.col("vec_id") < n_users + n_items)
+    ).select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("ie"))
+    ratings = (
+        F.broadcast(users)
+        .crossJoin(items)
+        .select("user_id", "item_id", cosine_expr("ue", "ie").alias("rating"))
+    )
+    return generate_triplets(
+        ratings, min_rating_diff=margin, max_per_user=cap,
+    )
+
+
+def embedding_hash_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: DedupConfig,
+    bits_grid: "tuple[tuple[int, int], ...]" = ((2, 4), (4, 8), (8, 8)),
+    epochs: int = 30,
+) -> DataFrame:
+    """``model_hash_sweep`` on the angle-graded embedding triplets. SRPR is
+    trained at b=4 (the aggressive deployment budget) — at the (2,4) grid
+    point its hash_degradation comes out BELOW BPR's, the ordering the paper
+    predicts and ``tests/test_ml.py::test_srpr_beats_bpr_on_angle_geometry``
+    pins."""
+    trip = embedding_triplets(spark, sf_dir).localCheckpoint(eager=True)
+    models = {
+        "bpr": train_bpr(spark, trip, d=8, epochs=epochs, learning_rate=0.05,
+                         lam=0.01, seed=cfg.seed),
+        "srpr": train_srpr(spark, trip, d=8, b=4, epochs=epochs,
+                           learning_rate=0.05, lam=0.001, seed=cfg.seed),
+    }
+    return hash_sweep_over_models(spark, models, trip, bits_grid, cfg.seed)
+
+
 def bpr_training_curve(
     spark: SparkSession, sf_dir: str, cfg: DedupConfig, epochs: int = 5
 ) -> DataFrame:
@@ -62,33 +121,97 @@ def srpr_training_curve(
     )
 
 
-def _hashed_pairwise_acc(
-    model: FactorModel, trip_rows: np.ndarray, tables: int, bits: int, seed: int
-) -> "tuple[float, float]":
-    """(exact-cosine acc, b-bit-hashed acc) of the model on its triplets.
+def hash_sweep_over_models(
+    spark: SparkSession,
+    models: "dict[str, FactorModel]",
+    triplets: DataFrame,
+    bits_grid: "tuple[tuple[int, int], ...]",
+    seed: int,
+) -> DataFrame:
+    """Pairwise-accuracy hashing-robustness sweep, fully distributed: NO
+    driver collect of triplet rows. Factors are broadcast once; ONE
+    mapInPandas pass over the triplets emits per-batch hit COUNTS for every
+    (model, tables, bits) grid point; accuracies reduce JVM-side
+    (``groupBy().sum()`` — map-side combinable). Counts are integers, so the
+    result is bit-identical to the former driver-side ``.mean()``.
 
     Hashed similarity = SRP bit-agreement fraction — the quantity Eq.9 says
-    estimates the angle; this is the reference's hashing-robustness experiment
-    (main.cpp:122-166) reduced to its pairwise core."""
-    planes = srp_planes(model.d, tables, bits, seed)
-    bu = (model.U @ planes.T) >= 0
-    bv = (model.V @ planes.T) >= 0
-    ui = np.searchsorted(model.user_ids, trip_rows[:, 0])
-    ii = np.searchsorted(model.item_ids, trip_rows[:, 1])
-    ji = np.searchsorted(model.item_ids, trip_rows[:, 2])
+    estimates the angle; this is the reference's hashing-robustness
+    experiment (main.cpp:122-166) reduced to its pairwise core."""
+    import pandas as pd
 
-    def cosm(a, b_):
-        return np.einsum("md,md->m", a, b_) / np.maximum(
-            np.linalg.norm(a, axis=1) * np.linalg.norm(b_, axis=1), 1e-12
-        )
-
-    exact = float(
-        (cosm(model.U[ui], model.V[ii]) > cosm(model.U[ui], model.V[ji])).mean()
+    payload = {
+        name: (m.user_ids, m.item_ids, m.U, m.V, m.d) for name, m in models.items()
+    }
+    bc = spark.sparkContext.broadcast((payload, tuple(bits_grid), seed))
+    schema = (
+        "model string, tables int, bits int, n long, exact_hits long, hashed_hits long"
     )
-    sim_pos = (bu[ui] == bv[ii]).mean(axis=1)
-    sim_neg = (bu[ui] == bv[ji]).mean(axis=1)
-    hashed = float((sim_pos > sim_neg).mean())
-    return exact, hashed
+
+    def gen(batches):
+        pl, grid, sd = bc.value
+        # planes are deterministic from (seed, tables, bits) — regenerate per
+        # worker instead of shipping them
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = pdf["user_id"].to_numpy()
+            i = pdf["pos_item"].to_numpy()
+            j = pdf["neg_item"].to_numpy()
+            rows = {"model": [], "tables": [], "bits": [],
+                    "n": [], "exact_hits": [], "hashed_hits": []}
+            for name, (user_ids, item_ids, U, V, d) in pl.items():
+                ui = np.searchsorted(user_ids, u)
+                ii = np.searchsorted(item_ids, i)
+                ji = np.searchsorted(item_ids, j)
+
+                def cosm(a, b_):
+                    return np.einsum("md,md->m", a, b_) / np.maximum(
+                        np.linalg.norm(a, axis=1) * np.linalg.norm(b_, axis=1),
+                        1e-12,
+                    )
+
+                exact_hits = int(
+                    np.count_nonzero(cosm(U[ui], V[ii]) > cosm(U[ui], V[ji]))
+                )
+                for tables, bits in grid:
+                    planes = srp_planes(d, tables, bits, sd)
+                    bu = (U[ui] @ planes.T) >= 0
+                    bv_i = (V[ii] @ planes.T) >= 0
+                    bv_j = (V[ji] @ planes.T) >= 0
+                    sim_pos = (bu == bv_i).mean(axis=1)
+                    sim_neg = (bu == bv_j).mean(axis=1)
+                    rows["model"].append(name)
+                    rows["tables"].append(tables)
+                    rows["bits"].append(bits)
+                    rows["n"].append(len(pdf))
+                    rows["exact_hits"].append(exact_hits)
+                    rows["hashed_hits"].append(
+                        int(np.count_nonzero(sim_pos > sim_neg))
+                    )
+            yield pd.DataFrame(rows)
+
+    counts = (
+        triplets.select(
+            F.col("user_id").cast("long"),
+            F.col("pos_item").cast("long"),
+            F.col("neg_item").cast("long"),
+        )
+        .mapInPandas(gen, schema=schema)
+        .groupBy("model", "tables", "bits")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("exact_hits").alias("eh"),
+            F.sum("hashed_hits").alias("hh"),
+        )
+    )
+    acc_e = F.round(F.col("eh") / F.col("n"), 4)
+    acc_h = F.round(F.col("hh") / F.col("n"), 4)
+    return counts.select(
+        "model", "tables", "bits",
+        acc_e.alias("acc_exact"), acc_h.alias("acc_hashed"),
+        F.round(acc_e - acc_h, 4).alias("hash_degradation"),
+    )
 
 
 def model_hash_sweep(
@@ -101,27 +224,14 @@ def model_hash_sweep(
     """Train BPR and SRPR on the same triplets, then measure how much pairwise
     ranking accuracy each survives b-bit SRP hashing with — the reference's
     core experimental question (``data_collection/speedup.cpp`` /
-    ``recall.cpp`` over trained models). One row per (model, tables, bits)."""
-    trip = orders_triplets(spark, sf_dir)
-    rows_np = np.array(
-        trip.select("user_id", "pos_item", "neg_item").collect(), dtype=np.int64
-    )
+    ``recall.cpp`` over trained models). One row per (model, tables, bits).
+    The accuracy evaluation is distributed (``hash_sweep_over_models``): no
+    driver-side collect of data rows at any triplet volume."""
+    trip = orders_triplets(spark, sf_dir).localCheckpoint(eager=True)
     models = {
         "bpr": train_bpr(spark, trip, d=8, epochs=epochs, learning_rate=0.05,
                          lam=0.01, seed=cfg.seed),
         "srpr": train_srpr(spark, trip, d=8, b=8, epochs=epochs,
                            learning_rate=0.05, lam=0.001, seed=cfg.seed),
     }
-    out = []
-    for name, m in models.items():
-        for tables, bits in bits_grid:
-            exact, hashed = _hashed_pairwise_acc(m, rows_np, tables, bits, cfg.seed)
-            out.append(
-                (name, tables, bits, round(exact, 4), round(hashed, 4),
-                 round(exact - hashed, 4))
-            )
-    return spark.createDataFrame(
-        out,
-        "model string, tables int, bits int, acc_exact double, acc_hashed double, "
-        "hash_degradation double",
-    )
+    return hash_sweep_over_models(spark, models, trip, bits_grid, cfg.seed)
