@@ -120,6 +120,47 @@ def retrieval_metrics(
     )
 
 
+def nrecall_at_k(
+    results: DataFrame,
+    ratings: DataFrame,
+    max_rating_value: float,
+    k: int = 10,
+) -> DataFrame:
+    """The reference's nRecall (``MetricsCalculator.h:89-138``): recall of a
+    user's MAX-RATED items, normalized by the best achievable at k.
+
+    ``results``: (query_id, item_id, rnk) ranked retrieval output.
+    ``ratings``: (query_id, item_id, rating).
+    Per user: max_rated = items with rating == ``max_rating_value`` (a GLOBAL
+    constant — main.cpp:68 uses 5.0); users with none are EXCLUDED (the
+    reference's early return + Umax-count conditional average,
+    ``MetricsCalculator.h:104-107,245-258``);
+    nRecall@k = hits / ideal = (hits/n_max) / (min(k, n_max)/n_max)
+              = hits / min(k, n_max).
+    Returns (query_id, n_max_rated, hits, n_recall_at_k), one row per Umax
+    user — so ``avg(n_recall_at_k)`` over this frame IS the reference's
+    ``get_average_nrecall``."""
+    maxr = ratings.filter(F.col("rating") == max_rating_value).select(
+        "query_id", "item_id"
+    )
+    sizes = maxr.groupBy("query_id").agg(F.count("*").alias("n_max_rated"))
+    hits = (
+        results.filter(F.col("rnk") <= k)
+        .join(maxr, ["query_id", "item_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return sizes.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_max_rated",
+        F.coalesce("hits", F.lit(0)).alias("hits"),
+        (
+            F.coalesce("hits", F.lit(0))
+            / F.least(F.lit(k), F.col("n_max_rated"))
+        ).alias("n_recall_at_k"),
+    )
+
+
 def average_metrics(per_query: DataFrame) -> DataFrame:
     """Macro averages — MetricsCalculator.h:186-216 as one agg."""
     return per_query.agg(

@@ -285,6 +285,63 @@ WHERE rnk <= 3
 """
 
 
+def q_nrecall(spark, sf_dir):
+    """The reference's nRecall metric (src/MetricsCalculator.h:89-138,245-258)
+    oracle-checked end-to-end: orders quantized to 1..5 "ratings"
+    (MAX_RATING_VALUE=5.0 as in main.cpp:68), retrieval = brute top-10 per
+    customer, per-user nRecall@k = hits / min(k, n_max_rated) over ONLY the
+    users having max-rated items (the Umax conditional)."""
+    from srpr_lsh_spark.functions.metrics import nrecall_at_k
+
+    o = _t(spark, sf_dir, "orders")
+    ratings = o.select(
+        F.col("o_custkey").alias("query_id"),
+        F.col("o_orderkey").alias("item_id"),
+        F.least(
+            F.lit(5), F.greatest(F.lit(1), F.ceil(F.col("o_totalprice") / 60000))
+        ).cast("double").alias("rating"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").desc()
+    )
+    results = (
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            F.col("o_custkey").alias("query_id"),
+            F.col("o_orderkey").alias("item_id"),
+            "rnk",
+        )
+    )
+    nr = nrecall_at_k(results, ratings, max_rating_value=5.0, k=10)
+    return nr.select(
+        "query_id", "n_max_rated", "hits",
+        F.round("n_recall_at_k", 6).alias("n_recall_at_k"),
+    )
+
+
+SQL_nrecall = """
+WITH ratings AS (
+  SELECT o_custkey AS query_id, o_orderkey AS item_id,
+         CAST(least(5, greatest(1, ceil(o_totalprice / 60000))) AS DOUBLE) AS rating
+  FROM orders),
+results AS (
+  SELECT o_custkey AS query_id, o_orderkey AS item_id,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rnk
+  FROM orders),
+maxr AS (SELECT query_id, item_id FROM ratings WHERE rating = 5.0),
+sizes AS (SELECT query_id, count(*) AS n_max_rated FROM maxr GROUP BY query_id),
+hits AS (
+  SELECT r.query_id, count(*) AS hits
+  FROM results r JOIN maxr m ON r.query_id = m.query_id AND r.item_id = m.item_id
+  WHERE r.rnk <= 10 GROUP BY r.query_id)
+SELECT s.query_id, s.n_max_rated, coalesce(h.hits, 0) AS hits,
+       round(coalesce(h.hits, 0) / least(10, s.n_max_rated), 6) AS n_recall_at_k
+FROM sizes s LEFT JOIN hits h ON s.query_id = h.query_id
+"""
+
+
 def q_dcg(spark, sf_dir):
     """DCG@k: Σ rel / log2(rank+1) over a ranked window —
     src/MetricsCalculator.h:81-88 as one window + agg."""
@@ -734,6 +791,7 @@ ORACLE_QUERIES = {
     "conditional_avg": (q_conditional_avg, SQL_conditional_avg),
     "hourly_rollup": (q_hourly_rollup, SQL_hourly_rollup),
     "topk_per_group": (q_topk_per_group, SQL_topk_per_group),
+    "nrecall": (q_nrecall, SQL_nrecall),
     "dcg": (q_dcg, SQL_dcg),
     "cumulative_hits": (q_cumulative_hits, SQL_cumulative_hits),
     "set_ops": (q_set_ops, SQL_set_ops),

@@ -105,8 +105,15 @@ def ann_eval_embeddings(
 ) -> DataFrame:
     """The reference's evaluation loop (main.cpp:122-166) end-to-end: LSH
     retrieval scored against the brute-force cosine oracle — one row of
-    macro-averaged precision/recall/MAP/nDCG@k."""
-    from srpr_lsh_spark.functions.metrics import average_metrics, retrieval_metrics
+    macro-averaged precision/recall/MAP/nDCG@k plus the reference's
+    ``avg_nrecall`` (recall of max-"rated" items over Umax users only;
+    ratings here are cosine quantized to the 1..5 MovieLens grade scale, so
+    grade 5 = the near-parallel items — the analogue of a 5-star rating)."""
+    from srpr_lsh_spark.functions.metrics import (
+        average_metrics,
+        nrecall_at_k,
+        retrieval_metrics,
+    )
     from srpr_lsh_spark.operators.ann import cosine_expr
     from pyspark.sql import Window
 
@@ -130,4 +137,19 @@ def ann_eval_embeddings(
         emb, queries, id_col="vec_id", vec_col="embedding",
         dim=64, k=k, tables=12, bits=8, seed=cfg.seed,
     ).select("query_id", F.col("cand_id").alias("item_id"), "rnk")
-    return average_metrics(retrieval_metrics(lsh, truth, k=k))
+    # cosine → 1..5 grade by per-user QUINTILE (grade 5 = the user's top 20%
+    # of items by cosine): the MAX_RATING_VALUE=5.0 max-rated set of
+    # main.cpp:68, derived deterministically from geometry. An absolute
+    # cosine threshold would leave the grade-5 set empty on near-orthogonal
+    # random embeddings; ranks always populate it.
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos").asc(), F.col("item_id").asc())
+    ratings = sims.select(
+        "query_id",
+        "item_id",
+        F.ntile(5).over(wq).cast("double").alias("rating"),
+    )
+    nrec = nrecall_at_k(lsh, ratings, max_rating_value=5.0, k=k).agg(
+        F.round(F.avg("n_recall_at_k"), 4).alias("avg_nrecall"),
+        F.count("*").alias("n_umax_queries"),
+    )
+    return average_metrics(retrieval_metrics(lsh, truth, k=k)).crossJoin(nrec)

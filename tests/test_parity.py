@@ -63,6 +63,7 @@ def test_rows_only_queries_run(spark):
         "ann_lsh_topk",
         "band_bucket_histogram",
         "bpr_training",
+        "embedding_hash_sweep",
         "minhash_signatures",
         "model_hash_sweep",
         "near_dup_pairs_documents",

@@ -59,6 +59,34 @@ class TestMetricsMicro:
         idcg = sum(1 / math.log2(i + 1) for i in range(1, 6))
         assert m["ndcg_at_k"] == pytest.approx(dcg / idcg)
 
+    def test_nrecall_hand_computed(self, spark):
+        """nRecall (MetricsCalculator.h:89-138,245-258) by hand:
+        user 0: max-rated {1,2,3}; retrieved@2 hits {1,3} → 2/min(2,3) = 1.0
+        user 1: max-rated {7}; retrieved@2 misses it → 0/min(2,1) = 0.0
+        user 2: NO max-rated items → excluded (Umax conditional)
+        avg over Umax users = 0.5."""
+        from srpr_lsh_spark.functions.metrics import nrecall_at_k
+
+        ratings = spark.createDataFrame(
+            [(0, 1, 5.0), (0, 2, 5.0), (0, 3, 5.0), (0, 4, 2.0),
+             (1, 7, 5.0), (1, 8, 3.0),
+             (2, 1, 4.0), (2, 2, 3.0)],
+            ["query_id", "item_id", "rating"],
+        )
+        results = spark.createDataFrame(
+            [(0, 1, 1), (0, 3, 2), (0, 2, 3),   # rnk 3 is beyond k=2
+             (1, 8, 1), (1, 9, 2),
+             (2, 1, 1), (2, 2, 2)],
+            ["query_id", "item_id", "rnk"],
+        )
+        rows = {r["query_id"]: r for r in nrecall_at_k(
+            results, ratings, max_rating_value=5.0, k=2
+        ).collect()}
+        assert set(rows) == {0, 1}  # user 2 excluded
+        assert rows[0]["n_max_rated"] == 3 and rows[0]["hits"] == 2
+        assert rows[0]["n_recall_at_k"] == pytest.approx(1.0)
+        assert rows[1]["n_recall_at_k"] == pytest.approx(0.0)
+
     def test_empty_result_query_scores_zero(self, spark):
         """A query whose retrieval returns nothing still counts in the macro
         averages with zero metrics (MetricsCalculator.h:142-145)."""
