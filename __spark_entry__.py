@@ -76,6 +76,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash_degradation < BPR's at every grid point (pinned by
     # tests/test_ml.py::test_srpr_beats_bpr_on_angle_geometry)
     out["embedding_hash_sweep"] = lambda s, d: tr.embedding_hash_sweep(s, d, _CFG)
+    # the /api/recommend serving payload (app.cpp:205-272): 4-way
+    # BPR/SRPR x brute/LSH comparison with per-retrieval timings
+    from srpr_lsh_spark.plans.serving import recommend_for_sf
+
+    out["recommend_user"] = lambda s, d: recommend_for_sf(s, d, _CFG)
     return out
 
 

@@ -73,10 +73,25 @@ class FactorModel:
     def item_factors_df(self, spark) -> DataFrame:
         """Item factors as (item_id, embedding) — the frame the ANN/LSH
         operators index (the reference hashes exactly these vectors)."""
-        pdf = pd.DataFrame(
-            {"item_id": self.item_ids, "embedding": list(self.V.astype(np.float32))}
+        from pyspark.sql.types import (
+            ArrayType,
+            FloatType,
+            LongType,
+            StructField,
+            StructType,
         )
-        return spark.createDataFrame(pdf)
+
+        rows = [
+            (int(i), [float(x) for x in v])
+            for i, v in zip(self.item_ids, self.V.astype(np.float32))
+        ]
+        schema = StructType(
+            [
+                StructField("item_id", LongType(), False),
+                StructField("embedding", ArrayType(FloatType(), False), False),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
 
 
 def init_factors(n: int, d: int, seed: int, offset: int = 0) -> np.ndarray:

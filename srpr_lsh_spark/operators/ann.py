@@ -133,6 +133,34 @@ def rerank_topk(
     )
 
 
+def brute_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k (``main.cpp:30-44``): score EVERY item for
+    each query, rank desc with id-desc tie-break (the ``sort(rbegin, rend)``
+    order on (score, item) pairs). Returns (query_id, cand_id, cosine, rnk).
+
+    The query side is broadcast — bounded query sets only (serving / eval),
+    same boundary as ``rerank_topk``."""
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = vectors.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    scored = cv.crossJoin(F.broadcast(qv)).select(
+        "query_id", "cand_id", cosine_expr("qv", "cv").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").desc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .withColumn("cosine", F.round("cosine", 4))
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

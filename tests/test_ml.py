@@ -224,6 +224,51 @@ class TestAngleGeometrySweep:
         assert acc[("srpr", 2, 4)] > acc[("bpr", 2, 4)]
 
 
+class TestServing:
+    def test_recommend_payload(self, spark, planted):
+        """The /api/recommend payload (app.cpp:205-272): 4 retrieval groups
+        (bpr/srpr × brute/lsh), rnk 1..k in each, per-group timing, LSH
+        metrics vs its model's brute ground truth, and the brute top-k
+        matching a numpy cosine re-computation exactly."""
+        from srpr_lsh_spark.ml.trainer import train_bpr, train_srpr
+        from srpr_lsh_spark.plans.serving import recommend
+
+        trip, _ = planted
+        models = {
+            "bpr": train_bpr(spark, trip, d=4, epochs=3, learning_rate=0.05, lam=0.01),
+            "srpr": train_srpr(spark, trip, d=4, b=8, epochs=3,
+                               learning_rate=0.05, lam=0.001),
+        }
+        k = 5
+        user = int(models["bpr"].user_ids[0])
+        rows = recommend(spark, models, user, k=k, tables=6, bits=4).collect()
+        groups = {}
+        for r in rows:
+            groups.setdefault((r["model"], r["method"]), []).append(r)
+        assert set(groups) == {("bpr", "brute"), ("bpr", "lsh"),
+                               ("srpr", "brute"), ("srpr", "lsh")}
+        for key, g in groups.items():
+            assert [r["rnk"] for r in sorted(g, key=lambda r: r["rnk"])] == list(
+                range(1, len(g) + 1)
+            )
+            assert len(g) <= k and g[0]["elapsed_ms"] > 0
+            is_lsh = key[1] == "lsh"
+            for r in g:
+                assert (r["precision_at_k"] is not None) == is_lsh
+                assert (r["recall_at_k"] is not None) == is_lsh
+        # brute bpr top-k == numpy cosine ranking (score desc, id desc)
+        m = models["bpr"]
+        uv = m.user_vector(user)
+        cos = (m.V @ uv) / (np.linalg.norm(m.V, axis=1) * np.linalg.norm(uv))
+        order = sorted(
+            zip(cos, m.item_ids), key=lambda t: (-t[0], -t[1])
+        )[:k]
+        want_ids = [int(i) for _c, i in order]
+        got = [r["item_id"] for r in sorted(groups[("bpr", "brute")],
+                                            key=lambda r: r["rnk"])]
+        assert got == want_ids
+
+
 class TestVectorsIO:
     def test_round_trip(self, tmp_path):
         from srpr_lsh_spark.ml.vectors_io import load_vectors, save_vectors
