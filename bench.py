@@ -395,12 +395,14 @@ def main() -> None:
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--executors", type=int, default=None,
                     help="run as local-cluster[N,cpus,8g]: N separate executor JVMs")
+    ap.add_argument("--cores", type=int, default=4,
+                    help="scaling study: cores per executor (the executor 'shape')")
     ap.add_argument("--out", default="BENCH/BASELINE.md")
     args = ap.parse_args()
 
     if args.scaling:
         run_scaling(args.sf_dir, n_clips=args.n_clips or 20000, reps=args.reps,
-                    out_path=args.out)
+                    cores=args.cores, out_path=args.out)
         return
 
     r = bench_once(args.sf_dir, args.cpus, n_clips=args.n_clips,
