@@ -7,17 +7,24 @@ binary column in, fixed-width feature vector out, via Arrow-batched
 
 Codec surface (mirrors the audio kernel's discipline, ``kernels/audio.py``):
 
-- **real decoders** for the uncompressed formats that need no external
-  library: binary netpbm images (``ppm`` P6 / ``pgm`` P5 — header parse +
-  ``np.frombuffer``, zero per-pixel Python) and a raw-frame video container
-  (``rawv``: magic + (w, h, n) header + n packed RGB frames);
+- **real decoders** needing no external library:
+  * binary netpbm images (``ppm`` P6 / ``pgm`` P5 — header parse +
+    ``np.frombuffer``, zero per-pixel Python),
+  * **``png``** — full real decode via stdlib ``zlib`` inflate + numpy
+    unfiltering: 8-bit depth, color types 0/2/3/4/6 (gray, RGB, palette,
+    gray+alpha, RGBA), all five filter types (None/Sub/Up/Average/Paeth);
+    Adam7 interlacing is refused explicitly (rare in training corpora),
+  * **``bmp``** — uncompressed 24/32-bit BI_RGB, bottom-up or top-down,
+    row padding handled,
+  * a raw-frame video container (``rawv``: magic + (w, h, n) header + n
+    packed RGB frames);
 - ``fake_deterministic`` — a seeded, content-addressed fake for plumbing
   tests that don't care about pixels;
-- anything compressed (jpeg/png/h264/...) raises ``NotImplementedError`` at
-  the decode boundary — this container ships no image/video libraries; plug
-  pillow/opencv/ffmpeg here on a real cluster. Everything downstream of
-  decode (features, schema, batching, partition behavior) is identical for
-  real and stubbed codecs.
+- still-compressed-with-no-stdlib-path codecs (jpeg/h264/...) raise
+  ``NotImplementedError`` at the decode boundary — this container ships no
+  image/video libraries; plug pillow/opencv/ffmpeg here on a real cluster.
+  Everything downstream of decode (features, schema, batching, partition
+  behavior) is identical for real and stubbed codecs.
 """
 
 from __future__ import annotations
@@ -70,6 +77,173 @@ def _parse_netpbm_header(blob: bytes) -> "tuple[bytes, int, int, int]":
     return tokens[0], int(tokens[1]), int(tokens[2]), pos
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W[, C]) uint8 → PNG (8-bit, truecolor/gray, non-interlaced).
+    ``filter_type`` applies ONE filter to every row (0/1/2 supported here —
+    enough to exercise the decoder's unfilter paths in tests)."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = np.ascontiguousarray(img, dtype=np.uint8)
+    rows = []
+    prev = np.zeros((w, c), dtype=np.uint8)
+    for y in range(h):
+        row = raw[y]
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub
+            left = np.vstack([np.zeros((1, c), np.uint8), row[:-1]])
+            filt = (row.astype(np.int16) - left).astype(np.uint8)
+        elif filter_type == 2:  # Up
+            filt = (row.astype(np.int16) - prev).astype(np.uint8)
+        else:
+            raise ValueError("encoder supports filter 0/1/2")
+        rows.append(bytes([filter_type]) + filt.tobytes())
+        prev = row
+    idat = zlib.compress(b"".join(rows))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Filtered scanline stream → (h, w*bpp) uint8 (PNG spec §6)."""
+    stride = w * bpp
+    data = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = int(data[y, 0])
+        cur = data[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            rec = cur
+        elif ft == 1:  # Sub: left dependency → per-byte-lane cumsum mod 256
+            rec = cur.reshape(w, bpp).cumsum(axis=0).reshape(stride) & 0xFF
+        elif ft == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif ft == 3:  # Average — sequential left dependency
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth — sequential left dependency
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c_ = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c_
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c_)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c_)
+                rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """PNG → (H, W, 3) uint8. 8-bit depth, color types 0/2/3/4/6, all five
+    row filters; non-interlaced only (Adam7 refused explicitly)."""
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    ctype = depth = interlace = None
+    palette = None
+    idat = []
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        tag = blob[pos + 4 : pos + 8]
+        body = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # skip CRC
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} unsupported (8 only)")
+    if interlace:
+        raise ValueError("Adam7-interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"PNG color type {ctype} unsupported")
+    raw = zlib.decompress(b"".join(idat))
+    px = _png_unfilter(raw, w, h, channels).reshape(h, w, channels)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 2:
+        return px.copy()
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("paletted PNG missing PLTE")
+        return palette[px[:, :, 0]]
+    if ctype == 4:  # gray+alpha: drop alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()  # RGBA: drop alpha
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → 24-bit bottom-up BI_RGB BMP."""
+    h, w, _ = img.shape
+    pad = (4 - (w * 3) % 4) % 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(img[y, :, ::-1].tobytes() + b"\x00" * pad)  # BGR order
+    pixel_data = b"".join(rows)
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(pixel_data), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+    return header + dib + pixel_data
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP → (H, W, 3) uint8; bottom-up or
+    top-down (negative height); row padding handled."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack("<I", blob[10:14])
+    dib_size, w, h_signed = struct.unpack("<Iii", blob[14:26])
+    _planes, bpp = struct.unpack("<HH", blob[26:30])
+    (compression,) = struct.unpack("<I", blob[30:34])
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"BMP bpp={bpp} compression={compression} unsupported")
+    h = abs(h_signed)
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3
+    rows = np.frombuffer(blob, dtype=np.uint8, count=h * stride, offset=off).reshape(
+        h, stride
+    )
+    px = rows[:, : w * nb].reshape(h, w, nb)
+    if h_signed > 0:
+        px = px[::-1]  # bottom-up → top-down
+    return px[:, :, 2::-1].copy()  # BGR(A) → RGB
+
+
 def decode_image(blob: bytes, codec: str) -> np.ndarray:
     """→ (H, W, 3) uint8.
 
@@ -87,6 +261,10 @@ def decode_image(blob: bytes, codec: str) -> np.ndarray:
             raise ValueError(f"not binary PGM: {magic!r}")
         gray = np.frombuffer(blob, dtype=np.uint8, count=w * h, offset=off).reshape(h, w)
         return np.repeat(gray[:, :, None], 3, axis=2)
+    if codec == "png":
+        return decode_png(blob)
+    if codec == "bmp":
+        return decode_bmp(blob)
     if codec == SUPPORTED_FAKE:
         h = hashlib.blake2b(blob, digest_size=8).digest()
         rng = np.random.default_rng(int.from_bytes(h, "little"))

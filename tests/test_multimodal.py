@@ -68,6 +68,121 @@ def test_real_codecs_stubbed():
         frame_sample(b"\x00", "h264")
 
 
+def _spec_filter_png(img: np.ndarray, filter_types: list) -> bytes:
+    """Spec-literal (per-pixel, slow) PNG scanline filtering + zlib — an
+    INDEPENDENT implementation to pin decode_png's unfilter paths, including
+    Average(3) and Paeth(4) which our fast encoder never emits."""
+    import struct as st
+    import zlib
+
+    h, w, c = img.shape
+    prev = np.zeros((w * c,), np.int32)
+    out = []
+    for y in range(h):
+        row = img[y].reshape(-1).astype(np.int32)
+        ft = filter_types[y % len(filter_types)]
+        filt = np.zeros_like(row)
+        for x in range(row.size):
+            a = row[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            filt[x] = (row[x] - pred) & 0xFF
+        out.append(bytes([ft]) + filt.astype(np.uint8).tobytes())
+        prev = row
+    idat = zlib.compress(b"".join(out))
+
+    def chunk(tag, body):
+        return (st.pack(">I", len(body)) + tag + body
+                + st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = st.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[c], 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+class TestPngBmp:
+    def test_png_roundtrip_plain_and_sub_up(self):
+        from srpr_lsh_spark.operators.multimodal import encode_png
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+        for ft in (0, 1, 2):
+            got = decode_image(encode_png(img, filter_type=ft), "png")
+            assert np.array_equal(got, img), ft
+
+    def test_png_all_filters_vs_spec_literal(self):
+        """Every filter type incl. Average/Paeth, mixed per row, RGB and
+        RGBA, against the independent spec-literal filterer."""
+        rng = np.random.default_rng(6)
+        for c in (3, 4):
+            img = rng.integers(0, 256, (11, 7, c), dtype=np.uint8)
+            blob = _spec_filter_png(img, [0, 1, 2, 3, 4])
+            got = decode_image(blob, "png")
+            assert np.array_equal(got, img[:, :, :3])
+
+    def test_png_gray_and_palette(self):
+        from srpr_lsh_spark.operators.multimodal import encode_png
+
+        rng = np.random.default_rng(7)
+        gray = rng.integers(0, 256, (8, 6), dtype=np.uint8)
+        got = decode_image(encode_png(gray), "png")
+        assert np.array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+        # paletted: build by hand
+        import struct as st
+        import zlib
+
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, (5, 4), dtype=np.uint8)
+        raw = b"".join(bytes([0]) + idx[y].tobytes() for y in range(5))
+
+        def chunk(tag, body):
+            return (st.pack(">I", len(body)) + tag + body
+                    + st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+        blob = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", st.pack(">IIBBBBB", 4, 5, 8, 3, 0, 0, 0))
+                + chunk(b"PLTE", pal.tobytes())
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+        assert np.array_equal(decode_image(blob, "png"), pal[idx])
+
+    def test_png_refuses_interlace_and_16bit(self):
+        import struct as st
+        import zlib
+
+        def chunk(tag, body):
+            return (st.pack(">I", len(body)) + tag + body
+                    + st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+        for depth, inter in ((8, 1), (16, 0)):
+            blob = (b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, inter))
+                    + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+                    + chunk(b"IEND", b""))
+            with pytest.raises(ValueError):
+                decode_image(blob, "png")
+
+    def test_bmp_roundtrip_with_padding(self):
+        from srpr_lsh_spark.operators.multimodal import encode_bmp
+
+        rng = np.random.default_rng(8)
+        # width 5 → 15-byte rows → 1 byte padding exercised
+        img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_bmp(img), "bmp"), img)
+
+
 def test_features_normalized():
     img = decode_image(b"x", SUPPORTED_FAKE)
     v = image_features(img, dim=16)
