@@ -16,15 +16,19 @@ Codec surface (mirrors the audio kernel's discipline, ``kernels/audio.py``):
     Adam7 interlacing is refused explicitly (rare in training corpora),
   * **``bmp``** — uncompressed 24/32-bit BI_RGB, bottom-up or top-down,
     row padding handled,
+  * **``jpeg``** — REAL baseline-sequential decode in pure numpy
+    (``operators/jpeg.py``: Huffman entropy decode, dequant + dezigzag,
+    exact 8×8 IDCT, any chroma sampling factors, restart markers);
+    progressive (SOF2) refused explicitly,
   * a raw-frame video container (``rawv``: magic + (w, h, n) header + n
     packed RGB frames);
 - ``fake_deterministic`` — a seeded, content-addressed fake for plumbing
   tests that don't care about pixels;
-- still-compressed-with-no-stdlib-path codecs (jpeg/h264/...) raise
+- codecs with no stdlib/numpy path (h264/webp/...) raise
   ``NotImplementedError`` at the decode boundary — this container ships no
-  image/video libraries; plug pillow/opencv/ffmpeg here on a real cluster.
-  Everything downstream of decode (features, schema, batching, partition
-  behavior) is identical for real and stubbed codecs.
+  video libraries; plug ffmpeg here on a real cluster. Everything
+  downstream of decode (features, schema, batching, partition behavior) is
+  identical for real and stubbed codecs.
 """
 
 from __future__ import annotations
@@ -265,6 +269,10 @@ def decode_image(blob: bytes, codec: str) -> np.ndarray:
         return decode_png(blob)
     if codec == "bmp":
         return decode_bmp(blob)
+    if codec in ("jpeg", "jpg"):
+        from srpr_lsh_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
     if codec == SUPPORTED_FAKE:
         h = hashlib.blake2b(blob, digest_size=8).digest()
         rng = np.random.default_rng(int.from_bytes(h, "little"))

@@ -61,11 +61,78 @@ def test_decode_fake_deterministic():
     assert not np.array_equal(a, c)
 
 
-def test_real_codecs_stubbed():
+def test_no_library_codecs_stubbed():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff", "jpeg")
+        decode_image(b"\x00", "webp")
     with pytest.raises(NotImplementedError):
         frame_sample(b"\x00", "h264")
+
+
+class TestJpeg:
+    @staticmethod
+    def _psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 10 * np.log10(255**2 / mse) if mse > 0 else float("inf")
+
+    @staticmethod
+    def _smooth(shape, seed):
+        rng = np.random.default_rng(seed)
+        small = rng.integers(
+            0, 256, (max(shape[0] // 8, 2), max(shape[1] // 8, 2), 3)
+        ).astype(float)
+        img = np.kron(small, np.ones((8, 8, 1)))
+        return np.clip(np.round(img), 0, 255).astype(np.uint8)[: shape[0], : shape[1]]
+
+    def test_roundtrip_444(self):
+        """8×8-blocky content is exactly representable at q=90 → lossless."""
+        from srpr_lsh_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        img = self._smooth((48, 64), 0)
+        got = decode_image(encode_jpeg(img, quality=90), "jpeg")
+        assert got.shape == img.shape and np.array_equal(got, img)
+        # natural (non-blocky) content at q=85: high-fidelity, not exact
+        rng = np.random.default_rng(1)
+        nat = np.clip(
+            np.cumsum(np.cumsum(rng.integers(-3, 4, (40, 56, 3)), 0), 1) + 128,
+            0, 255,
+        ).astype(np.uint8)
+        got = decode_jpeg(encode_jpeg(nat, quality=95))
+        assert self._psnr(nat, got) > 35
+
+    def test_roundtrip_420_and_odd_dims(self):
+        from srpr_lsh_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        for shape in ((9, 13), (17, 31), (40, 24)):
+            img = self._smooth(shape, 2)
+            got = decode_jpeg(encode_jpeg(img, quality=92, subsample=True))
+            assert got.shape == img.shape
+            assert self._psnr(img, got) > 30
+
+    def test_grayscale(self):
+        from srpr_lsh_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        g = self._smooth((24, 40), 3)[:, :, 0]
+        got = decode_jpeg(encode_jpeg(g, quality=95))
+        assert got.shape == (24, 40, 3)
+        assert self._psnr(np.repeat(g[:, :, None], 3, 2), got) > 40
+
+    def test_restart_markers(self):
+        from srpr_lsh_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        img = self._smooth((48, 64), 4)
+        plain = decode_jpeg(encode_jpeg(img, quality=90))
+        rst = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=2))
+        assert np.array_equal(plain, rst)
+
+    def test_progressive_refused(self):
+        from srpr_lsh_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        img = self._smooth((16, 16), 5)
+        blob = bytearray(encode_jpeg(img))
+        i = blob.find(b"\xff\xc0")
+        blob[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(bytes(blob))
 
 
 def _spec_filter_png(img: np.ndarray, filter_types: list) -> bytes:
