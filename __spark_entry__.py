@@ -81,6 +81,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from srpr_lsh_spark.plans.serving import recommend_for_sf
 
     out["recommend_user"] = lambda s, d: recommend_for_sf(s, d, _CFG)
+    # the nRecall experiment binary (data_collection/nRecall.cpp): true
+    # max-rated nRecall over trained models per (bits, k)
+    from srpr_lsh_spark.plans.sweep import nrecall_vs_k
+
+    out["nrecall_vs_k"] = lambda s, d: nrecall_vs_k(s, d, seed=_CFG.seed)
     return out
 
 

@@ -59,7 +59,12 @@ class DedupConfig:
     sketch_points: int = 512         # decimated-PCM sketch length (~1 ms stride)
     sketch_margin_db: float = 3.0    # sketch-SNR prefilter slack vs full check
     # --- substring (suffix-array) path ---
-    bottom_k: int = 16          # bottom-k shingle sketch size for containment candidates
+    bottom_k: int = 32          # bottom-k shingle sketch size for containment
+                                # candidates (r3: 16 → 32 — at 100k clips the
+                                # hot-shingle cut gutted ~18 contained rows'
+                                # sketches below containment_min_matches, a
+                                # ~1e-5 recall floor; doubling the sketch keeps
+                                # ≥3 informative hashes on those rows)
     containment_min_matches: int = 3  # sketch-hash matches needed to form a candidate
     min_substr_shingles: int = 8     # ignore ultra-short transcripts for containment
     # --- skew handling (SURVEY.md §4.3.2) ---

@@ -92,6 +92,93 @@ def sweep_bits(
     )
 
 
+def nrecall_vs_k(
+    spark: SparkSession,
+    sf_dir: str,
+    bits_grid: "tuple[int, ...]" = (4, 8),
+    k_grid: "tuple[int, ...]" = (5, 10),
+    n_test_users: int = 50,
+    epochs: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """The ``nRecall`` experiment binary end-to-end
+    (``data_collection/nRecall.cpp:43-109``): train BPR and SRPR, index the
+    TRAINED item vectors with L = ceil(log2(n_items)) SRP tables per ``bits``
+    config, retrieve top-k per test user, and score the REAL nRecall metric
+    (recall of items rated MAX_RATING_VALUE, Umax-conditional average —
+    ``MetricsCalculator.h:89-138,245-258``). One row per (model, bits, k).
+
+    Ratings are the orders-table 1..5 quantization (the same stand-in the
+    training triplets derive from)."""
+    import math
+
+    from srpr_lsh_spark.functions.metrics import nrecall_at_k
+    from srpr_lsh_spark.ml.trainer import train_bpr, train_srpr
+    from srpr_lsh_spark.plans.training import orders_triplets
+
+    trip = orders_triplets(spark, sf_dir).localCheckpoint(eager=True)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_custkey") % 50 == 0
+    )
+    ratings = o.select(
+        F.col("o_custkey").alias("query_id"),
+        F.col("o_orderkey").alias("item_id"),
+        F.least(
+            F.lit(5), F.greatest(F.lit(1), F.ceil(F.col("o_totalprice") / 60000))
+        ).cast("double").alias("rating"),
+    ).localCheckpoint(eager=True)
+
+    models = {
+        "bpr": train_bpr(spark, trip, d=8, epochs=epochs, learning_rate=0.05,
+                         lam=0.01, seed=seed),
+        "srpr": train_srpr(spark, trip, d=8, b=8, epochs=epochs,
+                           learning_rate=0.05, lam=0.001, seed=seed),
+    }
+    rows = []
+    for name, m in models.items():
+        items = m.item_factors_df(spark).localCheckpoint(eager=True)
+        tables = max(1, math.ceil(math.log2(max(len(m.item_ids), 2))))
+        test_users = m.user_ids[:n_test_users]
+        from pyspark.sql.types import (
+            ArrayType, FloatType, LongType, StructField, StructType,
+        )
+
+        uframe = spark.createDataFrame(
+            [
+                (int(u), [float(x) for x in m.user_vector(u)])
+                for u in test_users
+            ],
+            StructType(
+                [
+                    StructField("item_id", LongType(), False),
+                    StructField("embedding", ArrayType(FloatType(), False), False),
+                ]
+            ),
+        )
+        for bits in bits_grid:
+            got = lsh_topk(
+                items, uframe, id_col="item_id", vec_col="embedding",
+                dim=m.d, k=max(k_grid), tables=tables, bits=bits, seed=seed,
+            ).localCheckpoint(eager=True)
+            for k in k_grid:
+                res = got.filter(F.col("rnk") <= k).select(
+                    "query_id", F.col("cand_id").alias("item_id"), "rnk"
+                )
+                nr = nrecall_at_k(res, ratings, max_rating_value=5.0, k=k)
+                agg = nr.agg(
+                    F.avg("n_recall_at_k").alias("a"), F.count("*").alias("n")
+                ).first()
+                rows.append(
+                    (name, bits, k, tables,
+                     round(float(agg["a"] or 0.0), 6), int(agg["n"]))
+                )
+    return spark.createDataFrame(
+        rows,
+        "model string, bits int, k int, tables int, avg_nrecall double, "
+        "n_umax_users long",
+    )
+
+
 def speedup_csv(spark: SparkSession, sf_dir: str, out_path: str,
                 bits_grid: "tuple[int, ...]" = (4, 8, 12, 16),
                 n_queries: int = 50, seed: int = 42) -> DataFrame:

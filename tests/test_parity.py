@@ -67,6 +67,8 @@ def test_rows_only_queries_run(spark):
         "minhash_signatures",
         "model_hash_sweep",
         "near_dup_pairs_documents",
+        "nrecall_vs_k",
+        "recommend_user",
         "srpr_training",
     ]
     for k in rows_only:
