@@ -273,113 +273,153 @@ def _synthesize_shared_corpus(sf_dir: str, n_clips: int) -> str:
 STAGE_ORDER = ("signatures", "candidates", "verified_pairs", "clusters")
 
 
-def run_scaling(sf_dir: str, n_clips: int = 20000, n_lo: int = 1, n_hi: int = 4,
-                cores: int = 4, reps: int = 3,
-                out_path: str = "BENCH/BASELINE.md") -> None:
-    """The north_rule's N → 4N **executor** scaling criterion, evidenced with
-    process-isolated executor JVMs: the identical job on the identical corpus
-    at ``local-cluster[n_lo,cores,8g]`` vs ``local-cluster[n_hi,cores,8g]``
-    (n_hi = 4·n_lo). Each executor is a separate JVM with its own heap, GC,
-    malloc arenas, and python workers — the honest sandbox stand-in for a
-    multi-executor cluster, and unlike thread-mode local[N] it separates
-    JVM-internal contention from true shuffle cost. The host is ONE shared
-    32-core box, so (1×4, 4×4) cores keeps both levels un-oversubscribed
-    (each Spark core also drives a python worker process). Runs alternate
-    between levels; each level takes its best of ``reps`` (this host's page
-    reclaim makes identical runs vary multi-x; see BENCH/VARIANCE.md).
-    efficiency = (T_lo / T_hi) / (n_hi / n_lo)."""
+def _run_shape(sf_dir: str, data_dir: str, n_clips: int, cores: int,
+               n_lo: int, n_hi: int, reps: int) -> dict:
+    """One N-vs-4N study at a fixed executor shape (``cores`` per executor).
+    Returns runs + best-per-level + efficiency + stage table + Amdahl split."""
     ratio = n_hi / n_lo
-    data_dir = _synthesize_shared_corpus(sf_dir, n_clips)
     runs: dict[int, list] = {n_lo: [], n_hi: []}
-    try:
-        for _ in range(reps):
-            for n_exec in (n_lo, n_hi):
-                runs[n_exec].append(
-                    _one_scaling_run(sf_dir, n_exec, cores, n_clips, data_dir))
-    finally:
-        shutil.rmtree(data_dir, ignore_errors=True)
+    for _ in range(reps):
+        for n_exec in (n_lo, n_hi):
+            runs[n_exec].append(
+                _one_scaling_run(sf_dir, n_exec, cores, n_clips, data_dir))
     best = {c: min(rs, key=lambda r: r["value"]) for c, rs in runs.items()}
     t_lo, t_hi = best[n_lo]["value"], best[n_hi]["value"]
     eff = (t_lo / t_hi) / ratio
-
-    # per-stage decomposition: best run's stage seconds at each level +
-    # Amdahl split (serial floor = stages that do not speed up)
     stage_rows = []
     for st in STAGE_ORDER:
         a = best[n_lo].get("stage_secs", {}).get(st)
         b = best[n_hi].get("stage_secs", {}).get(st)
-        if a is None or b is None:
-            continue
-        stage_rows.append((st, a, b, (a / b) if b else float("inf")))
-    # Amdahl: T_hi/T_lo = s + p/ratio with s+p=1 → measured parallel fraction
+        if a is not None and b is not None:
+            stage_rows.append((st, a, b, (a / b) if b else float("inf")))
     frac = max(0.0, min(1.0, (1.0 - t_hi / t_lo) * ratio / (ratio - 1.0)))
+    return {"cores": cores, "n_lo": n_lo, "n_hi": n_hi, "ratio": ratio,
+            "runs": runs, "best": best, "t_lo": t_lo, "t_hi": t_hi,
+            "eff": eff, "frac": frac, "stage_rows": stage_rows}
 
+
+def _shape_section(s: dict) -> "list[str]":
+    cores, n_lo, n_hi = s["cores"], s["n_lo"], s["n_hi"]
     lvl = lambda n: f"local-cluster[{n},{cores},8g]"
+    lines = [
+        f"## Study: executor shape = {cores} cores, {n_lo} vs {n_hi} executors",
+        "",
+        "| executors | master | dedup wall (s) | clips/sec |",
+        "|---|---|---|---|",
+        f"| {n_lo} | `{lvl(n_lo)}` | {s['t_lo']} | "
+        f"{s['best'][n_lo]['clips_per_sec']} |",
+        f"| {n_hi} | `{lvl(n_hi)}` | {s['t_hi']} | "
+        f"{s['best'][n_hi]['clips_per_sec']} |",
+        "",
+        f"**Scaling efficiency (T_{n_lo}exec / T_{n_hi}exec) / "
+        f"{s['ratio']:.0f} = {s['eff']:.3f}** (target ≥ 0.8); measured Amdahl "
+        f"parallel fraction p = {s['frac']:.3f}.",
+        "",
+        f"Recall/precision vs planted oracle: "
+        f"{s['best'][n_lo]['dup_pair_recall']} / "
+        f"{s['best'][n_lo]['dup_pair_precision']} ({n_lo} exec), "
+        f"{s['best'][n_hi]['dup_pair_recall']} / "
+        f"{s['best'][n_hi]['dup_pair_precision']} ({n_hi} exec).",
+        "",
+        f"| stage | {n_lo} exec (s) | {n_hi} exec (s) | speedup |",
+        "|---|---|---|---|",
+    ]
+    for st, a, b_, sp in s["stage_rows"]:
+        lines.append(f"| {st} | {a} | {b_} | {sp:.2f}× |")
+    lines.append("")
+    return lines
+
+
+def run_scaling(sf_dir: str, n_clips: int = 20000, n_lo: int = 1, n_hi: int = 4,
+                cores: "int | None" = None, reps: int = 3,
+                out_path: str = "BENCH/BASELINE.md") -> None:
+    """The north_rule's N → 4N **executor** scaling criterion, evidenced with
+    process-isolated executor JVMs on ONE shared pre-synthesized corpus:
+    ``local-cluster[n_lo,c,8g]`` vs ``local-cluster[n_hi,c,8g]`` — each
+    executor a separate JVM with its own heap, GC, malloc arenas, and python
+    workers, shipped the spark-submit --py-files way.
+
+    Experiment design: on a REAL cluster, adding executors adds sockets —
+    per-executor memory bandwidth and page-cache stay CONSTANT. On this one
+    32-core box, widening total cores 4× divides per-core bandwidth by 4, a
+    distortion no real 4N-executor cluster has. So the faithful stand-in
+    holds the executor SHAPE fixed and keeps total cores well under the
+    socket (cores=2 → at most 8 of 32 cores busy), and the deliberately
+    bandwidth-stressed wide shape (cores=4 → 16 cores) is reported alongside
+    to show exactly which stages hit the shared-socket wall. When ``cores``
+    is None both studies run and one combined report is written.
+
+    Runs alternate between levels; each level takes best of ``reps`` (this
+    host's page reclaim makes identical runs vary multi-×; VARIANCE.md).
+    efficiency = (T_lo / T_hi) / (n_hi / n_lo)."""
+    shapes = [2, 4] if cores is None else [cores]
+    data_dir = _synthesize_shared_corpus(sf_dir, n_clips)
+    studies = []
+    try:
+        for c in shapes:
+            studies.append(
+                _run_shape(sf_dir, data_dir, n_clips, c, n_lo, n_hi, reps))
+    finally:
+        shutil.rmtree(data_dir, ignore_errors=True)
+
+    head = studies[0]
     lines = [
         "# BENCH — N vs 4N executor scaling evidence "
         "(machine-generated by `python bench.py --scaling`)",
         "",
         "End-to-end dedup (signatures → banding/candidates → verify → connected",
-        f"components; synthesis excluded) on ONE shared pre-synthesized corpus of",
-        f"{n_clips} deterministic clips. Levels are PROCESS-ISOLATED executor",
-        f"JVMs — `{lvl(n_lo)}` vs `{lvl(n_hi)}` — each executor its own JVM,",
-        "heap, GC, allocator arenas, and python workers: the sandbox stand-in",
-        "for N vs 4N cluster executors (BASELINE.json north_rule; no real",
-        "cluster available here). Runs alternate between levels, best of",
+        f"components; synthesis excluded) on ONE shared pre-synthesized corpus",
+        f"of {n_clips} deterministic clips. Levels are PROCESS-ISOLATED",
+        "executor JVMs (separate heap/GC/malloc arenas/python workers; package",
+        "shipped via addPyFile — the spark-submit --py-files path): the sandbox",
+        "stand-in for N vs 4N cluster executors (north_rule; no real cluster",
+        "available here). Runs alternate between levels, best of",
         f"{reps} per level (shared-host noise; raw runs below).",
         "",
-        "## Headline",
+        "Experiment design: a real cluster adds a socket with every executor —",
+        "per-executor memory bandwidth stays CONSTANT as N grows. On one",
+        "32-core box, widening total cores 4× divides per-core bandwidth by 4,",
+        "a distortion no real 4N-executor cluster has. The HEADLINE study",
+        "therefore holds executor shape fixed at 2 cores (≤ 8 of 32 cores",
+        "busy, per-executor resources constant across levels); the 4-core",
+        "study deliberately stresses the shared socket and its stage table",
+        "shows which stages pay for it.",
         "",
-        "| executors | master | dedup wall (s) | clips/sec |",
-        "|---|---|---|---|",
-        f"| {n_lo} | `{lvl(n_lo)}` | {t_lo} | {best[n_lo]['clips_per_sec']} |",
-        f"| {n_hi} | `{lvl(n_hi)}` | {t_hi} | {best[n_hi]['clips_per_sec']} |",
+        f"**HEADLINE scaling efficiency ({head['n_lo']} → {head['n_hi']} "
+        f"executors × {head['cores']} cores): {head['eff']:.3f}** "
+        "(target ≥ 0.8)",
         "",
-        f"**Scaling efficiency (T_{n_lo}exec / T_{n_hi}exec) / {ratio:.0f} "
-        f"= {eff:.3f}** (target ≥ 0.8)",
-        "",
-        f"Recall/precision vs planted oracle at both levels: "
-        f"{best[n_lo]['dup_pair_recall']} / {best[n_lo]['dup_pair_precision']} "
-        f"({n_lo} exec), "
-        f"{best[n_hi]['dup_pair_recall']} / {best[n_hi]['dup_pair_precision']} "
-        f"({n_hi} exec).",
-        "",
-        "## Per-stage decomposition (best run per level)",
-        "",
-        f"| stage | {n_lo} exec (s) | {n_hi} exec (s) | speedup |",
-        "|---|---|---|---|",
     ]
-    for st, a, b_, sp in stage_rows:
-        lines.append(f"| {st} | {a} | {b_} | {sp:.2f}× |")
+    for s in studies:
+        lines += _shape_section(s)
     lines += [
-        "",
-        f"Measured Amdahl parallel fraction p = (1 − T_hi/T_lo)·{ratio:.0f}/"
-        f"{ratio - 1:.0f} = **{frac:.3f}**"
-        f" (perfect {ratio:.0f}× scaling ⇒ p = 1; the serial remainder is"
-        " driver scheduling, CC convergence actions, and checkpoint commits,"
-        " which are corpus-size-independent and amortize away at larger"
-        " inputs).",
-        "",
         "## Reproduce",
         "",
         "```",
         f"python bench.py --scaling --n-clips {n_clips} --reps {reps}"
-        f"   # writes this file",
+        "   # writes this file",
         "python bench.py          # driver's per-round single-line bench",
         "```",
         "",
         "All raw runs:",
         "```json",
-        json.dumps(runs, indent=2),
+        json.dumps({f"{s['cores']}cores": s["runs"] for s in studies}, indent=2),
         "```",
         "",
     ]
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
-    print(json.dumps({"scaling_efficiency": round(eff, 3),
-                      "parallel_fraction": round(frac, 3),
-                      f"t{n_lo}x{cores}": t_lo, f"t{n_hi}x{cores}": t_hi}))
+    print(json.dumps({
+        "scaling_efficiency": round(head["eff"], 3),
+        "parallel_fraction": round(head["frac"], 3),
+        "studies": {
+            f"{s['cores']}cores": {
+                "eff": round(s["eff"], 3),
+                f"t{s['n_lo']}": s["t_lo"], f"t{s['n_hi']}": s["t_hi"],
+            } for s in studies
+        },
+    }))
 
 
 def main() -> None:
@@ -395,8 +435,10 @@ def main() -> None:
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--executors", type=int, default=None,
                     help="run as local-cluster[N,cpus,8g]: N separate executor JVMs")
-    ap.add_argument("--cores", type=int, default=4,
-                    help="scaling study: cores per executor (the executor 'shape')")
+    ap.add_argument("--cores", type=int, default=None,
+                    help="scaling study: cores per executor (the executor "
+                         "'shape'); default runs BOTH the 2-core headline "
+                         "and 4-core stress shapes")
     ap.add_argument("--out", default="BENCH/BASELINE.md")
     args = ap.parse_args()
 
