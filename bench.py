@@ -8,9 +8,9 @@ target sf, plus per-query seconds for representative relational queries at
 
     python bench.py                       # sf from $SPARK_GRAFT_SF_DIR, local[$SPARK_GRAFT_CPUS]
     python bench.py --cpus 8              # pin parallelism
-    python bench.py --executors 4 --cpus 4  # local-cluster[4,4,8g]: separate executor JVMs
-    python bench.py --scaling             # N vs 4N EXECUTOR study (local-cluster[1,4,8g]
-                                          # vs local-cluster[4,4,8g]) → writes BENCH/BASELINE.md
+    python bench.py --executors 4 --cpus 4  # local-cluster[4,4,4g]: separate executor JVMs
+    python bench.py --scaling             # N vs 4N EXECUTOR study (local-cluster[1,4,4g]
+                                          # vs local-cluster[4,4,4g]) → writes BENCH/BASELINE.md
 
 Scaling evidence (BASELINE.json north_rule; no real cluster in this sandbox):
 the identical job on the identical input at 1 vs 4 process-isolated executor
@@ -61,7 +61,7 @@ def _scratch_dir() -> str:
 
 
 def _session(cpus: int, shuffle_partitions: "int | None" = None,
-             executors: "int | None" = None, exec_mem_mb: int = 8192):
+             executors: "int | None" = None, exec_mem_mb: int = 4096):
     """local[cpus] session, or — when ``executors`` is set — a process-isolated
     ``local-cluster[executors, cpus, exec_mem_mb]`` session: each executor is
     its OWN JVM with its own heap, GC, allocator arenas, and python workers.
@@ -99,7 +99,11 @@ def _session(cpus: int, shuffle_partitions: "int | None" = None,
         # at bench scale — broadcasting them removes the candidate-pair
         # shuffles; at petabyte scale AQE falls back to SMJ on its own
         .config("spark.sql.autoBroadcastJoinThreshold", "128m")
-        .config("spark.driver.memory", "24g" if executors is None else "8g")
+        # isolated mode keeps the TOTAL footprint small: this host's reclaim
+        # daemon starts fault-storming around ~60 GB resident, and a 4-exec
+        # level that carries 4× the JVM heap of the 1-exec level would both
+        # trigger it AND bias the comparison (VARIANCE.md round 3)
+        .config("spark.driver.memory", "24g" if executors is None else "6g")
         .config("spark.local.dir", scratch)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
@@ -300,7 +304,7 @@ def _run_shape(sf_dir: str, data_dir: str, n_clips: int, cores: int,
 
 def _shape_section(s: dict) -> "list[str]":
     cores, n_lo, n_hi = s["cores"], s["n_lo"], s["n_hi"]
-    lvl = lambda n: f"local-cluster[{n},{cores},8g]"
+    lvl = lambda n: f"local-cluster[{n},{cores},4g]"
     lines = [
         f"## Study: executor shape = {cores} cores, {n_lo} vs {n_hi} executors",
         "",
@@ -335,7 +339,7 @@ def run_scaling(sf_dir: str, n_clips: int = 20000, n_lo: int = 1, n_hi: int = 4,
                 out_path: str = "BENCH/BASELINE.md") -> None:
     """The north_rule's N → 4N **executor** scaling criterion, evidenced with
     process-isolated executor JVMs on ONE shared pre-synthesized corpus:
-    ``local-cluster[n_lo,c,8g]`` vs ``local-cluster[n_hi,c,8g]`` — each
+    ``local-cluster[n_lo,c,4g]`` vs ``local-cluster[n_hi,c,4g]`` — each
     executor a separate JVM with its own heap, GC, malloc arenas, and python
     workers, shipped the spark-submit --py-files way.
 
@@ -434,7 +438,7 @@ def main() -> None:
     ap.add_argument("--skip-queries", action="store_true")
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--executors", type=int, default=None,
-                    help="run as local-cluster[N,cpus,8g]: N separate executor JVMs")
+                    help="run as local-cluster[N,cpus,4g]: N separate executor JVMs")
     ap.add_argument("--cores", type=int, default=None,
                     help="scaling study: cores per executor (the executor "
                          "'shape'); default runs BOTH the 2-core headline "

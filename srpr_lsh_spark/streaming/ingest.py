@@ -66,6 +66,76 @@ def stream_signatures(
     return q
 
 
+def stream_exact_dedup(
+    clips: DataFrame,
+    ttl_minutes: int = 0,
+) -> DataFrame:
+    """Streaming EXACT dedup: keep the first clip per content hash ACROSS
+    micro-batches — the incremental counterpart of the batch pipeline's
+    exact-content short-circuit (``operators/signatures.py`` content key).
+
+    Custom stateful operator via ``applyInPandasWithState`` keyed by the
+    128-bit content hash: state = "seen" flag per key, held in Spark's state
+    store, so a duplicate arriving in batch N of a key first seen in batch 1
+    is dropped. With ``ttl_minutes`` > 0 state expires on processing time
+    (bounded state for endless streams — at 10¹² clips the state store is
+    the scale boundary; shard-by-hash is exactly how Spark partitions it).
+
+    Returns (content_key, clip_id) — one winner row per distinct content,
+    emitted in the micro-batch where the content FIRST appears. The pytest
+    oracle is the batch pipeline's winner rule (min clip_id per hash)
+    computed with plain groupBy on the union of all batches.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    import pandas as pd
+
+    keyed = clips.select(
+        F.sha2(F.col("bytes"), 256).substr(1, 32).alias("content_key"),
+        "clip_id",
+    )
+    out_schema = StructType(
+        [
+            StructField("content_key", StringType(), False),
+            StructField("clip_id", StringType(), False),
+        ]
+    )
+    state_schema = StructType([StructField("seen", LongType(), True)])
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def dedup_fn(key, pdfs, state: "GroupState"):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        # deterministic winner inside the batch: min clip_id over ALL
+        # chunks of the group (the iterator may deliver several)
+        winner = None
+        for pdf in pdfs:
+            if len(pdf):
+                cand = pdf["clip_id"].min()
+                winner = cand if winner is None else min(winner, cand)
+        if state.exists:
+            return  # key already emitted in an earlier batch → drop all
+        if winner is None:
+            return
+        state.update((1,))
+        if ttl_minutes:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        yield pd.DataFrame({"content_key": [key[0]], "clip_id": [winner]})
+
+    return keyed.groupBy("content_key").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 def windowed_event_rollup(
     events: DataFrame,
     window: str = "1 hour",

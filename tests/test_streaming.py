@@ -55,6 +55,66 @@ def test_incremental_signature_ingest(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == 160
 
 
+def test_stream_exact_dedup_cross_batch_state(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): a duplicate
+    arriving in micro-batch 2 of content first seen in batch 1 must be
+    DROPPED — state crosses batches. Winner rule = min clip_id within the
+    first batch containing the key (pinned per batch below)."""
+    from pyspark.sql import functions as F
+
+    from srpr_lsh_spark.streaming.ingest import stream_exact_dedup
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    def clips_df(rows):
+        return spark.createDataFrame(
+            [(cid, bytes(payload, "utf8")) for cid, payload in rows],
+            "clip_id string, bytes binary",
+        )
+
+    def run_stream():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("clip_id string, bytes binary")
+            .option("maxFilesPerTrigger", "1000")
+            .load(in_dir)
+        )
+        q = (
+            stream_exact_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: contents A (c1, c3 dup) and B (c2)
+    clips_df([("c3", "AAAA"), ("c1", "AAAA"), ("c2", "BBBB")]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_stream()
+    got1 = {r["clip_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {"c1", "c2"}  # min clip_id wins within the batch
+
+    # batch 2: A again (c0 — would win by id, but A was already emitted),
+    # B again (c9), and new content C (c7)
+    clips_df([("c0", "AAAA"), ("c9", "BBBB"), ("c7", "CCCC")]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_stream()
+    got2 = {r["clip_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {"c1", "c2", "c7"}  # state dropped the cross-batch dupes
+
+    # content keys are the 128-bit prefix of sha2(bytes) — 3 distinct
+    keys = spark.read.parquet(out_dir).select("content_key").distinct().count()
+    assert keys == 3
+
+
 def test_windowed_rollup_matches_batch_oracle(spark):
     import datetime as dt
 
