@@ -8,9 +8,9 @@ target sf, plus per-query seconds for representative relational queries at
 
     python bench.py                       # sf from $SPARK_GRAFT_SF_DIR, local[$SPARK_GRAFT_CPUS]
     python bench.py --cpus 8              # pin parallelism
-    python bench.py --executors 4 --cpus 4  # local-cluster[4,4,4g]: separate executor JVMs
-    python bench.py --scaling             # N vs 4N EXECUTOR study (local-cluster[1,4,4g]
-                                          # vs local-cluster[4,4,4g]) → writes BENCH/BASELINE.md
+    python bench.py --executors 4 --cpus 4  # local-cluster[4,4,8g]: separate executor JVMs
+    python bench.py --scaling             # N vs 4N EXECUTOR study (local-cluster[1,4,8g]
+                                          # vs local-cluster[4,4,8g]) → writes BENCH/BASELINE.md
 
 Scaling evidence (BASELINE.json north_rule; no real cluster in this sandbox):
 the identical job on the identical input at 1 vs 4 process-isolated executor
@@ -61,7 +61,7 @@ def _scratch_dir() -> str:
 
 
 def _session(cpus: int, shuffle_partitions: "int | None" = None,
-             executors: "int | None" = None, exec_mem_mb: int = 4096):
+             executors: "int | None" = None, exec_mem_mb: int = 8192):
     """local[cpus] session, or — when ``executors`` is set — a process-isolated
     ``local-cluster[executors, cpus, exec_mem_mb]`` session: each executor is
     its OWN JVM with its own heap, GC, allocator arenas, and python workers.
@@ -100,9 +100,11 @@ def _session(cpus: int, shuffle_partitions: "int | None" = None,
         # shuffles; at petabyte scale AQE falls back to SMJ on its own
         .config("spark.sql.autoBroadcastJoinThreshold", "128m")
         # isolated mode keeps the TOTAL footprint small: this host's reclaim
-        # daemon starts fault-storming around ~60 GB resident, and a 4-exec
-        # level that carries 4× the JVM heap of the 1-exec level would both
-        # trigger it AND bias the comparison (VARIANCE.md round 3)
+        # daemon starts fault-storming around ~60 GB resident (VARIANCE.md
+        # round 3). Executor heap stays 8g at BOTH levels — the 1-exec level
+        # holds every localCheckpoint block alone, exactly as a real
+        # cluster's per-executor share would demand — and the study keeps
+        # total resident under the storm threshold via corpus size instead.
         .config("spark.driver.memory", "24g" if executors is None else "6g")
         .config("spark.local.dir", scratch)
         .config("spark.ui.enabled", "false")
@@ -250,7 +252,12 @@ def _one_scaling_run(sf_dir: str, n_exec: int, cores: int, n_clips: int,
         "--shuffle-partitions", "64", "--skip-queries",
         "--data-dir", data_dir,
     ]
-    proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(
+            f"scaling sub-run failed (exec={n_exec}, cores={cores}); stderr tail above"
+        )
     line = [
         l for l in proc.stdout.strip().splitlines()
         if l.startswith("{") and '"metric"' in l
@@ -304,7 +311,7 @@ def _run_shape(sf_dir: str, data_dir: str, n_clips: int, cores: int,
 
 def _shape_section(s: dict) -> "list[str]":
     cores, n_lo, n_hi = s["cores"], s["n_lo"], s["n_hi"]
-    lvl = lambda n: f"local-cluster[{n},{cores},4g]"
+    lvl = lambda n: f"local-cluster[{n},{cores},8g]"
     lines = [
         f"## Study: executor shape = {cores} cores, {n_lo} vs {n_hi} executors",
         "",
@@ -339,7 +346,7 @@ def run_scaling(sf_dir: str, n_clips: int = 20000, n_lo: int = 1, n_hi: int = 4,
                 out_path: str = "BENCH/BASELINE.md") -> None:
     """The north_rule's N → 4N **executor** scaling criterion, evidenced with
     process-isolated executor JVMs on ONE shared pre-synthesized corpus:
-    ``local-cluster[n_lo,c,4g]`` vs ``local-cluster[n_hi,c,4g]`` — each
+    ``local-cluster[n_lo,c,8g]`` vs ``local-cluster[n_hi,c,8g]`` — each
     executor a separate JVM with its own heap, GC, malloc arenas, and python
     workers, shipped the spark-submit --py-files way.
 
@@ -438,7 +445,7 @@ def main() -> None:
     ap.add_argument("--skip-queries", action="store_true")
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--executors", type=int, default=None,
-                    help="run as local-cluster[N,cpus,4g]: N separate executor JVMs")
+                    help="run as local-cluster[N,cpus,8g]: N separate executor JVMs")
     ap.add_argument("--cores", type=int, default=None,
                     help="scaling study: cores per executor (the executor "
                          "'shape'); default runs BOTH the 2-core headline "
