@@ -95,10 +95,15 @@ def _session(cpus: int, shuffle_partitions: "int | None" = None,
         # (config.tune_allocator_env) batches this size recycle arena pages
         # instead of re-faulting fresh mmap'd ones every batch.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        # the verify-stage lookup sides (fingerprints/sketches) are tens of MB
-        # at bench scale — broadcasting them removes the candidate-pair
-        # shuffles; at petabyte scale AQE falls back to SMJ on its own
-        .config("spark.sql.autoBroadcastJoinThreshold", "128m")
+        # the verify-stage lookup sides (fingerprints/sketches) are
+        # ~0.5 KB/clip — broadcasting them removes the candidate-pair
+        # shuffles. At 200k clips the fingerprint side (~100 MB) crossed the
+        # old 128m threshold and the phase-1 attach joins silently flipped
+        # to sort-merge, sorting the multi-million-row candidate frame twice
+        # per side — measured as the verify stage ANTI-scaling (0.8× at 4×
+        # cores). 512m keeps the dimension-style lookups broadcast at bench
+        # scales; at petabyte scale AQE falls back to SMJ on its own.
+        .config("spark.sql.autoBroadcastJoinThreshold", "512m")
         # isolated mode keeps the TOTAL footprint small: this host's reclaim
         # daemon starts fault-storming around ~60 GB resident (VARIANCE.md
         # round 3). Executor heap stays 8g at BOTH levels — the 1-exec level
