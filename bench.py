@@ -186,7 +186,8 @@ def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
                shuffle_partitions: "int | None" = None,
                skip_queries: bool = False,
                data_dir: "str | None" = None,
-               executors: "int | None" = None) -> dict:
+               executors: "int | None" = None,
+               bench_reps: int = 1) -> dict:
     from srpr_lsh_spark.config import DedupConfig
     from srpr_lsh_spark.plans.pipeline import run_dedup
     from srpr_lsh_spark.sources.synth import SynthParams, synthesize_clips
@@ -218,17 +219,38 @@ def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
             clips, oracle = synthesize_clips(spark, params, out_dir=f"{tmp}/data")
         out["synth_sec"] = round(time.time() - t0, 2)
 
-        t0 = time.time()
-        res = run_dedup(spark, clips, cfg, warehouse_dir=f"{tmp}/wh", resume=False)
-        n_clusters = res["clusters"].select("cluster_id").distinct().count()
-        dedup_sec = time.time() - t0
-        out["dedup_sec"] = round(dedup_sec, 2)
-        out["clips_per_sec"] = round(n_clips / dedup_sec, 1)
-        out["n_clusters"] = n_clusters
-        out["stage_secs"] = res.get("stage_secs", {})
+        # ``bench_reps`` > 1: rerun the identical dedup (fresh warehouse each
+        # time) and report min + median + raw runs — this host's wall clock
+        # varies multi-× between identical runs minutes apart (VARIANCE.md),
+        # so cross-round deltas need their own spread (VERDICT r3 #7)
+        runs: list[dict] = []
+        for rep in range(max(1, bench_reps)):
+            t0 = time.time()
+            res = run_dedup(spark, clips, cfg,
+                            warehouse_dir=f"{tmp}/wh{rep}", resume=False)
+            n_clusters = res["clusters"].select("cluster_id").distinct().count()
+            runs.append({
+                "dedup_sec": round(time.time() - t0, 2),
+                "stage_secs": res.get("stage_secs", {}),
+                "verify_stats": res.get("verify_stats", {}),
+                "n_clusters": n_clusters,
+                "res": res,
+            })
+        best = min(runs, key=lambda r: r["dedup_sec"])
+        secs = sorted(r["dedup_sec"] for r in runs)
+        out["dedup_sec"] = best["dedup_sec"]
+        out["dedup_sec_median"] = secs[len(secs) // 2]
+        out["dedup_runs_sec"] = [r["dedup_sec"] for r in runs]
+        out["reps"] = len(runs)
+        out["clips_per_sec"] = round(n_clips / best["dedup_sec"], 1)
+        out["n_clusters"] = best["n_clusters"]
+        out["stage_secs"] = best["stage_secs"]
+        # candidate-mass reduction through the audio verify ladder:
+        # pairs_in → int8_pass (quantized prefilter survivors) → exact cosine
+        out["verify_stats"] = best["verify_stats"]
         # BASELINE.json acceptance metric: dup-pair recall / precision vs the
         # planted oracle clusters (computed outside the timed window)
-        out.update(_pair_quality(res["clusters"], oracle))
+        out.update(_pair_quality(best["res"]["clusters"], oracle))
 
         # relational queries at the driver's sf dir (skipped in scaling runs:
         # they time fixed small-data work that only adds noise exposure there)
@@ -256,7 +278,7 @@ def _one_scaling_run(sf_dir: str, n_exec: "int | None", cores: int,
         "--sf-dir", sf_dir, "--cpus", str(cores),
         "--n-clips", str(n_clips), "--json-only",
         "--shuffle-partitions", "64", "--skip-queries",
-        "--data-dir", data_dir,
+        "--data-dir", data_dir, "--bench-reps", "1",
     ]
     if n_exec is not None:
         cmd += ["--executors", str(n_exec)]
@@ -482,6 +504,9 @@ def main() -> None:
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--executors", type=int, default=None,
                     help="run as local-cluster[N,cpus,8g]: N separate executor JVMs")
+    ap.add_argument("--bench-reps", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")),
+                    help="default-mode dedup repetitions (min + median reported)")
     ap.add_argument("--cores", type=int, default=None,
                     help="scaling study: cores per executor (the executor "
                          "'shape'); default runs BOTH the 2-core headline "
@@ -497,7 +522,7 @@ def main() -> None:
     r = bench_once(args.sf_dir, args.cpus, n_clips=args.n_clips,
                    shuffle_partitions=args.shuffle_partitions,
                    skip_queries=args.skip_queries, data_dir=args.data_dir,
-                   executors=args.executors)
+                   executors=args.executors, bench_reps=args.bench_reps)
     line = {
         "metric": "e2e_dedup_sec",
         "value": r["dedup_sec"],
@@ -511,6 +536,10 @@ def main() -> None:
         "synth_sec": r["synth_sec"],
         "n_clusters": r["n_clusters"],
         "stage_secs": r.get("stage_secs", {}),
+        "reps": r.get("reps"),
+        "dedup_sec_median": r.get("dedup_sec_median"),
+        "dedup_runs_sec": r.get("dedup_runs_sec"),
+        "verify_stats": r.get("verify_stats", {}),
         "dup_pair_recall": r.get("dup_pair_recall"),
         "dup_pair_precision": r.get("dup_pair_precision"),
     }

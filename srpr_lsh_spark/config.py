@@ -55,6 +55,12 @@ class DedupConfig:
     sim_bits: int = 40          # b per table
     fingerprint_dim: int = 32   # D — matches the reference embedding dim (main.cpp:62)
     cosine_threshold: float = 0.997  # exact-verify acceptance on fingerprints
+    # phase-1 fingerprint lookup: collected ONCE to a Python broadcast var and
+    # probed inside one mapInPandas (no per-branch BroadcastExchange builds —
+    # the round-3 scaling gap). Above this row count the stage falls back to
+    # the join-based plan (the 10¹²-clip path: sort-merge on bucketed
+    # signatures). 5M rows ≈ 0.9 GB payload at d=32 — a sane broadcast ceiling.
+    fp_collect_max_rows: int = 5_000_000
     snr_db_threshold: float = 30.0   # decoded-PCM pair SNR acceptance (input_hint)
     sketch_points: int = 512         # decimated-PCM sketch length (~1 ms stride)
     sketch_margin_db: float = 3.0    # sketch-SNR prefilter slack vs full check
@@ -92,7 +98,13 @@ class DedupConfig:
 
     # knobs that change the physical plan but never the result; they must not
     # invalidate checkpoints (outputs are partitioning-invariant by design)
-    _LAYOUT_FIELDS = ("shuffle_partitions", "cc_max_iters", "input_split_bytes", "extra")
+    _LAYOUT_FIELDS = (
+        "shuffle_partitions",
+        "cc_max_iters",
+        "input_split_bytes",
+        "fp_collect_max_rows",  # picks the phase-1 plan, never the result
+        "extra",
+    )
 
     def config_hash(self) -> str:
         """Deterministic 16-hex-digit hash of every semantics-bearing field."""

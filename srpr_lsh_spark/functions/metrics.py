@@ -135,8 +135,12 @@ def nrecall_at_k(
     constant — main.cpp:68 uses 5.0); users with none are EXCLUDED (the
     reference's early return + Umax-count conditional average,
     ``MetricsCalculator.h:104-107,245-258``);
-    nRecall@k = hits / ideal = (hits/n_max) / (min(k, n_max)/n_max)
-              = hits / min(k, n_max).
+    nRecall@k = hits / ideal = (hits/n_max) / (min(k_ret, n_max)/n_max)
+              = hits / min(k_ret, n_max),
+    where ``k_ret`` is the ACTUAL retrieved-list length (the reference sets
+    ``k = lsh_results.size()`` at ``MetricsCalculator.h:121``, NOT the nominal
+    k) — they differ when retrieval returns fewer than k candidates. A user
+    with zero retrieved rows scores 0.0 (the reference's ideal>0 guard).
     Returns (query_id, n_max_rated, hits, n_recall_at_k), one row per Umax
     user — so ``avg(n_recall_at_k)`` over this frame IS the reference's
     ``get_average_nrecall``."""
@@ -144,20 +148,25 @@ def nrecall_at_k(
         "query_id", "item_id"
     )
     sizes = maxr.groupBy("query_id").agg(F.count("*").alias("n_max_rated"))
+    topk = results.filter(F.col("rnk") <= k)
+    retrieved = topk.groupBy("query_id").agg(F.count("*").alias("n_retrieved"))
     hits = (
-        results.filter(F.col("rnk") <= k)
-        .join(maxr, ["query_id", "item_id"], "left_semi")
+        topk.join(maxr, ["query_id", "item_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count("*").alias("hits"))
     )
-    return sizes.join(hits, "query_id", "left").select(
-        "query_id",
-        "n_max_rated",
-        F.coalesce("hits", F.lit(0)).alias("hits"),
-        (
-            F.coalesce("hits", F.lit(0))
-            / F.least(F.lit(k), F.col("n_max_rated"))
-        ).alias("n_recall_at_k"),
+    ideal = F.least(F.coalesce("n_retrieved", F.lit(0)), F.col("n_max_rated"))
+    return (
+        sizes.join(hits, "query_id", "left")
+        .join(retrieved, "query_id", "left")
+        .select(
+            "query_id",
+            "n_max_rated",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.when(ideal > 0, F.coalesce("hits", F.lit(0)) / ideal)
+            .otherwise(F.lit(0.0))
+            .alias("n_recall_at_k"),
+        )
     )
 
 

@@ -289,8 +289,11 @@ def q_nrecall(spark, sf_dir):
     """The reference's nRecall metric (src/MetricsCalculator.h:89-138,245-258)
     oracle-checked end-to-end: orders quantized to 1..5 "ratings"
     (MAX_RATING_VALUE=5.0 as in main.cpp:68), retrieval = brute top-10 per
-    customer, per-user nRecall@k = hits / min(k, n_max_rated) over ONLY the
-    users having max-rated items (the Umax conditional)."""
+    customer, per-user nRecall@k = hits / min(n_retrieved, n_max_rated) over
+    ONLY the users having max-rated items (the Umax conditional). The ideal
+    uses the ACTUAL retrieved count (MetricsCalculator.h:121 sets
+    k = lsh_results.size()), so customers with fewer than 10 orders are
+    normalized by what retrieval could actually return."""
     from srpr_lsh_spark.functions.metrics import nrecall_at_k
 
     o = _t(spark, sf_dir, "orders")
@@ -332,13 +335,20 @@ results AS (
   FROM orders),
 maxr AS (SELECT query_id, item_id FROM ratings WHERE rating = 5.0),
 sizes AS (SELECT query_id, count(*) AS n_max_rated FROM maxr GROUP BY query_id),
+retr AS (SELECT query_id, count(*) AS n_retrieved
+         FROM results WHERE rnk <= 10 GROUP BY query_id),
 hits AS (
   SELECT r.query_id, count(*) AS hits
   FROM results r JOIN maxr m ON r.query_id = m.query_id AND r.item_id = m.item_id
   WHERE r.rnk <= 10 GROUP BY r.query_id)
 SELECT s.query_id, s.n_max_rated, coalesce(h.hits, 0) AS hits,
-       round(coalesce(h.hits, 0) / least(10, s.n_max_rated), 6) AS n_recall_at_k
-FROM sizes s LEFT JOIN hits h ON s.query_id = h.query_id
+       CASE WHEN least(coalesce(t.n_retrieved, 0), s.n_max_rated) > 0
+            THEN round(coalesce(h.hits, 0)
+                       / least(coalesce(t.n_retrieved, 0), s.n_max_rated), 6)
+            ELSE 0.0 END AS n_recall_at_k
+FROM sizes s
+LEFT JOIN hits h ON s.query_id = h.query_id
+LEFT JOIN retr t ON s.query_id = t.query_id
 """
 
 
@@ -776,6 +786,55 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_shingle_count(spark, sf_dir):
+    """The signature stage's ``n_shingles`` column, oracle-checked: distinct
+    char 5-grams of the NORMALIZED text, computed by the ACTUAL production
+    kernel (``kernels/hashing.py::shingle_hashes`` — the distinct-hash count
+    equals the distinct-shingle count barring a 64-bit collision, ~1e-13 per
+    doc). Moves one more LSH-adjacent column from rows-only to hash-checked
+    (VERDICT r3 #5); reference analogue: the per-item hashing loop input size
+    (src/lsh.h:27-32)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from srpr_lsh_spark.kernels.hashing import shingle_hashes
+    from srpr_lsh_spark.kernels.text import normalize_transcript
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("n_shingles", LongType(), False),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = normalize_transcript(pdf["text"].tolist())
+            _, off = shingle_hashes(texts, k=5, seed=42)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_shingles": (off[1:] - off[:-1]).astype("int64"),
+                }
+            )
+
+    return d.mapInPandas(gen, schema=schema)
+
+
+SQL_shingle_count = r"""
+WITH nt AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents),
+ex AS (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 4, 0))) AS i
+       FROM nt)
+SELECT doc_id, count(DISTINCT substring(t, i, 5)) AS n_shingles
+FROM ex GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -808,4 +867,5 @@ ORACLE_QUERIES = {
     "per_group_cap": (q_per_group_cap, SQL_per_group_cap),
     "triplet_gen": (q_triplet_gen, SQL_triplet_gen),
     "epoch_loglik": (q_epoch_loglik, SQL_epoch_loglik),
+    "shingle_count": (q_shingle_count, SQL_shingle_count),
 }

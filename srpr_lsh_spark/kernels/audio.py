@@ -1,9 +1,12 @@
-"""Audio kernels: PCM16 WAV encode/decode, spectral fingerprint, pair SNR.
+"""Audio kernels: PCM16 + G.711 WAV encode/decode, spectral fingerprint, SNR.
 
-The container ships no audio libraries, so the codec surface is deliberately
-``pcm_s16le`` WAV only (pure numpy: header parse + ``np.frombuffer``). Any
-other codec raises NotImplementedError at the decode boundary — the Spark-side
-plumbing (schema, batching, UDF signatures) is codec-agnostic and real.
+The container ships no audio libraries, so the codec surface is pure numpy:
+``pcm_s16le`` (header parse + ``np.frombuffer``) and the ITU-T G.711 companded
+telephony codecs ``pcm_mulaw`` / ``pcm_alaw`` (256-entry decode LUTs built
+from the spec's segment/mantissa layout — one fancy-index per batch, no
+per-sample Python). Any other codec raises NotImplementedError at the decode
+boundary — the Spark-side plumbing (schema, batching, UDF signatures) is
+codec-agnostic and real.
 """
 
 from __future__ import annotations
@@ -14,6 +17,59 @@ import numpy as np
 
 _RIFF = b"RIFF"
 _WAVE = b"WAVE"
+
+
+def _mulaw_decode_lut() -> np.ndarray:
+    """G.711 μ-law byte → linear int16 (the classic ulaw2linear table):
+    complement, then ``t = ((mantissa << 3) + 0x84) << exponent`` with the
+    0x84 bias removed; sign bit picks the negative branch. Range ±32124."""
+    u = (~np.arange(256, dtype=np.int64)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _alaw_decode_lut() -> np.ndarray:
+    """G.711 A-law byte → linear int16 (alaw2linear): XOR 0x55, segment 0
+    adds half-step 8, segment 1 adds the 0x108 bias, higher segments shift.
+    Sign bit SET means positive in A-law. Range ±32256."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+_G711_LUTS = {"pcm_mulaw": _mulaw_decode_lut(), "pcm_alaw": _alaw_decode_lut()}
+
+
+def g711_encode(samples: np.ndarray, law: str) -> np.ndarray:
+    """float [-1, 1] → G.711 code bytes, nearest-decoded-value quantization
+    (vectorized: one ``searchsorted`` against the sorted decode table)."""
+    lut = _G711_LUTS[law].astype(np.float64) / 32768.0
+    order = np.argsort(lut, kind="stable")
+    sv = lut[order]
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pos = np.searchsorted(sv, x)
+    lo = np.clip(pos - 1, 0, sv.size - 1)
+    hi = np.clip(pos, 0, sv.size - 1)
+    pick = np.where(np.abs(sv[hi] - x) < np.abs(x - sv[lo]), hi, lo)
+    return order[pick].astype(np.uint8)
+
+
+def encode_g711_wav(samples: np.ndarray, sr_hz: int, law: str) -> bytes:
+    """Mono 8-bit G.711 WAV (format tag 7 = μ-law, 6 = A-law)."""
+    data = g711_encode(samples, law).tobytes()
+    tag = 7 if law == "pcm_mulaw" else 6
+    hdr = (
+        _RIFF
+        + struct.pack("<I", 36 + len(data))
+        + _WAVE
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, tag, 1, sr_hz, sr_hz, 1, 8)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
 
 
 def encode_pcm16_wav(samples: np.ndarray, sr_hz: int) -> bytes:
@@ -37,15 +93,18 @@ def encode_pcm16_wav(samples: np.ndarray, sr_hz: int) -> bytes:
 
 
 def decode_pcm16_wav(blob: bytes, codec: str = "pcm_s16le") -> np.ndarray:
-    """Decode a mono PCM16 WAV payload → float64 samples in [-1, 1].
+    """Decode a mono WAV payload → float64 samples in [-1, 1].
 
-    Walks RIFF chunks to find ``data`` (robust to extra chunks), then
-    ``np.frombuffer`` — no per-sample Python.
+    ``pcm_s16le``: ``np.frombuffer`` of the data chunk. ``pcm_mulaw`` /
+    ``pcm_alaw``: one LUT fancy-index over the 8-bit data chunk (G.711).
+    Walks RIFF chunks to find ``data`` (robust to extra chunks); no
+    per-sample Python on any path. Other codecs raise at this boundary —
+    plug a real decoder here on a cluster with audio libs.
     """
-    if codec != "pcm_s16le":
+    if codec not in ("pcm_s16le", "pcm_mulaw", "pcm_alaw"):
         raise NotImplementedError(
-            f"codec {codec!r}: only pcm_s16le is decodable in this container; "
-            "plug a real decoder here on a cluster with audio libs"
+            f"codec {codec!r}: pcm_s16le/pcm_mulaw/pcm_alaw are decodable in "
+            "this container; plug a real decoder here on a cluster with audio libs"
         )
     if len(blob) < 44 or blob[:4] != _RIFF or blob[8:12] != _WAVE:
         raise ValueError("not a RIFF/WAVE payload")
@@ -55,7 +114,10 @@ def decode_pcm16_wav(blob: bytes, codec: str = "pcm_s16le") -> np.ndarray:
         (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
         if cid == b"data":
             raw = blob[pos + 8 : pos + 8 + size]
-            return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+            if codec == "pcm_s16le":
+                return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+            codes = np.frombuffer(raw, dtype=np.uint8)
+            return _G711_LUTS[codec][codes].astype(np.float64) / 32768.0
         pos += 8 + size + (size & 1)
     raise ValueError("no data chunk found")
 

@@ -41,6 +41,15 @@ def batch_jaccard(
     ``intersect1d`` on the concatenation and no per-pair temporaries beyond
     the probe index array. Semantics match ``jaccard`` exactly, including
     empty∪empty → 0.0.
+
+    Measured r4: a fully-flat rewrite (all probes of the batch through one
+    vectorized branch-free bisect, zero per-pair Python) ran 3.5× SLOWER warm
+    (0.72 s vs 0.20 s, 20k pairs × ~150 shingles) and paid a 6.7 s cold
+    first-touch penalty — the ~15 multi-MB temporaries per bisect iteration
+    are memory-traffic-bound, while this loop's ~150-element segments stay
+    cache-resident and each iteration is one C ``searchsorted``. Same lesson
+    as the r3 shingle dedup: on per-row small arrays, the Python loop
+    overhead (~10 µs/pair) is cheaper than global-array traffic.
     """
     n = oa.size - 1
     out = np.zeros(n, dtype=np.float64)

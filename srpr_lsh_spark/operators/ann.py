@@ -84,21 +84,32 @@ def lsh_candidates(
     tables: int = 12,
     bits: int = 8,
     seed: int = 42,
+    query_id_col: "str | None" = None,
+    query_vec_col: "str | None" = None,
 ) -> DataFrame:
     """The LSH bucket-probe join (src/lsh.h:34-44) + candidate union across
-    tables (:36-43): → distinct (query_id, cand_id)."""
+    tables (:36-43): → distinct (query_id, cand_id).
+
+    ``query_id_col``/``query_vec_col`` name the QUERY frame's columns when
+    they differ from the item side's (e.g. user vectors probing an item
+    index) — so no caller has to alias a user id as ``item_id`` (the r3
+    schema pun, VERDICT #6). Default: same names as the item side."""
     keys_all = _with_srp_keys(vectors, vec_col, id_col, dim, tables, bits, seed)
-    keys_q = _with_srp_keys(queries, vec_col, id_col, dim, tables, bits, seed)
+    keys_q = _with_srp_keys(
+        queries, query_vec_col or vec_col, query_id_col or id_col,
+        dim, tables, bits, seed,
+    )
     idx = keys_all.select("id", F.posexplode("keys").alias("t", "key"))
     qx = keys_q.select(
         F.col("id").alias("query_id"), F.posexplode("keys").alias("t", "key")
     )
-    return (
-        qx.join(idx, ["t", "key"])
-        .filter(F.col("query_id") != F.col("id"))
-        .select("query_id", F.col("id").alias("cand_id"))
-        .distinct()
-    )
+    joined = qx.join(idx, ["t", "key"])
+    if query_id_col is None:
+        # query ids live in the ITEM id space (self-retrieval eval): drop the
+        # trivial self match. With a distinct query entity (users probing an
+        # item index) a numeric id coincidence is NOT a self match — keep it.
+        joined = joined.filter(F.col("query_id") != F.col("id"))
+    return joined.select("query_id", F.col("id").alias("cand_id")).distinct()
 
 
 def rerank_topk(
@@ -108,6 +119,8 @@ def rerank_topk(
     id_col: str,
     vec_col: str,
     k: int,
+    query_id_col: "str | None" = None,
+    query_vec_col: "str | None" = None,
 ) -> DataFrame:
     """Exact cosine re-rank of (query_id, cand_id) candidates → top-k.
 
@@ -115,7 +128,10 @@ def rerank_topk(
     reference's usage) — for all-vs-all workloads use the dedup pipeline's
     banded self-join instead; broadcasting an unbounded query side would not
     survive scale."""
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qv = queries.select(
+        F.col(query_id_col or id_col).alias("query_id"),
+        F.col(query_vec_col or vec_col).alias("qv"),
+    )
     cv = vectors.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
     scored = (
         cands.join(F.broadcast(qv), "query_id")
@@ -139,6 +155,8 @@ def brute_topk(
     id_col: str,
     vec_col: str,
     k: int = 10,
+    query_id_col: "str | None" = None,
+    query_vec_col: "str | None" = None,
 ) -> DataFrame:
     """Brute-force cosine top-k (``main.cpp:30-44``): score EVERY item for
     each query, rank desc with id-desc tie-break (the ``sort(rbegin, rend)``
@@ -146,7 +164,10 @@ def brute_topk(
 
     The query side is broadcast — bounded query sets only (serving / eval),
     same boundary as ``rerank_topk``."""
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qv = queries.select(
+        F.col(query_id_col or id_col).alias("query_id"),
+        F.col(query_vec_col or vec_col).alias("qv"),
+    )
     cv = vectors.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
     scored = cv.crossJoin(F.broadcast(qv)).select(
         "query_id", "cand_id", cosine_expr("qv", "cv").alias("cosine")
@@ -171,11 +192,21 @@ def lsh_topk(
     tables: int = 12,
     bits: int = 8,
     seed: int = 42,
+    query_id_col: "str | None" = None,
+    query_vec_col: "str | None" = None,
 ) -> DataFrame:
     """SRP-LSH top-k: bucket-probe join → candidate union → exact re-rank.
 
-    ``queries`` is a subset of ``vectors`` (or any frame with the same id/vec
-    columns). Returns (query_id, cand_id, cosine, rnk ≤ k).
+    ``queries`` is a subset of ``vectors`` (the reference's self-retrieval
+    eval) or any frame whose id/vec columns are named by
+    ``query_id_col``/``query_vec_col`` (user vectors probing an item index —
+    no self-exclusion then). Returns (query_id, cand_id, cosine, rnk ≤ k).
     """
-    cands = lsh_candidates(vectors, queries, id_col, vec_col, dim, tables, bits, seed)
-    return rerank_topk(cands, vectors, queries, id_col, vec_col, k)
+    cands = lsh_candidates(
+        vectors, queries, id_col, vec_col, dim, tables, bits, seed,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    return rerank_topk(
+        cands, vectors, queries, id_col, vec_col, k,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )

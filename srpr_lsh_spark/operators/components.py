@@ -80,7 +80,12 @@ def connected_components(
     # point, so comparing checksums two rounds apart still detects it exactly —
     # at the cost of at most one redundant (cheap, already-converged) round —
     # while halving the serial driver actions per round (the dominant term in
-    # the measured parallelism-independent floor; see NOTES.md round 1)
+    # the measured parallelism-independent floor; see NOTES.md round 1).
+    # The checkpoint is LAZY (eager=False): the checksum aggregate is the
+    # cycle's ONLY action — it computes every partition of ``e``, which
+    # materializes the checkpoint blocks as a side effect, so each cycle costs
+    # one Spark job instead of two (materialize + checksum). Measured as part
+    # of the ~10 s corpus-size-independent clusters floor (VERDICT r3 #3).
     prev = None
     converged = False
     rounds = 0
@@ -88,7 +93,7 @@ def connected_components(
         for _ in range(2):
             e = _small_star(_large_star(e))
             rounds += 1
-        e = e.localCheckpoint(eager=True)
+        e = e.localCheckpoint(eager=False)
         cur = _checksum(e)
         if cur == prev:
             converged = True

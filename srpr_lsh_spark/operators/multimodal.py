@@ -231,7 +231,13 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     if blob[:2] != b"BM":
         raise ValueError("not a BMP")
     (off,) = struct.unpack("<I", blob[10:14])
-    dib_size, w, h_signed = struct.unpack("<Iii", blob[14:26])
+    (dib_size,) = struct.unpack("<I", blob[14:18])
+    if dib_size < 40:
+        # a 12-byte BITMAPCOREHEADER lays out w/h/bpp at DIFFERENT offsets —
+        # parsing it with the INFOHEADER layout below would read garbage, so
+        # refuse explicitly (the module's convention for unsupported variants)
+        raise ValueError(f"BMP DIB header size {dib_size} unsupported (need BITMAPINFOHEADER)")
+    _, w, h_signed = struct.unpack("<Iii", blob[14:26])
     _planes, bpp = struct.unpack("<HH", blob[26:30])
     (compression,) = struct.unpack("<I", blob[30:34])
     if compression != 0 or bpp not in (24, 32):

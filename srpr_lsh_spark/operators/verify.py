@@ -97,38 +97,73 @@ def verify_text_pairs(pairs: DataFrame, clips: DataFrame, cfg: DedupConfig) -> D
     return withz.mapInPandas(gen, schema=schema)
 
 
-def verify_audio_pairs(
-    pairs: DataFrame, clips: DataFrame, signatures: DataFrame, cfg: DedupConfig
+PRE_SCHEMA = StructType(
+    [
+        StructField("a", StringType(), False),
+        StructField("b", StringType(), False),
+        StructField("source", StringType(), False),
+        StructField("cosine", DoubleType(), False),
+    ]
+)
+
+
+def _phase1_cosine_broadcast(
+    pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig,
+    stats: "dict | None" = None,
 ) -> DataFrame:
-    """(a, b, source) → verified (a, b, source, cosine, snr_db).
+    """Phase-1 fingerprint cosine with ONE lookup build (the round-3 scaling
+    fix): collect the slim ``(clip_id, fp)`` projection to the driver ONCE,
+    ship it as a single Python broadcast variable, and evaluate both the int8
+    prefilter and the exact float64 dot in a single ``mapInPandas`` over the
+    candidate frame — zero joins, zero per-branch BroadcastExchange builds.
+    Kernel + design rationale: ``kernels/cosine.py``."""
+    from srpr_lsh_spark.kernels.cosine import build_fp_lookup, pair_cosines, quant_margin
 
-    Three phases, each shrinking the set before the next gets more expensive:
-    1. fingerprint cosine, computed JVM-SIDE in whole-stage codegen (no
-       python round-trip for the full candidate set, no sketch attached) —
-       kills the giant hot-band star pairs and the mass of near-parallel
-       non-duplicates; zero fingerprints → null cosine → dropped;
-    2. decimated-PCM sketch SNR from signatures, survivors only — kills
-       "fingerprint twins" without touching bytes (threshold is
-       ``snr_db_threshold - sketch_margin_db``: the sketch is an estimator);
-    3. full decoded-PCM pair SNR (the BASELINE.json per-row invariant) — the
-       authoritative check, now on a set bounded by the true duplicate count,
-       so audio bytes are only ever joined for rows that are almost certainly
-       duplicates.
-    """
-    cos_thr = cfg.cosine_threshold
-    sketch_thr = cfg.snr_db_threshold - cfg.sketch_margin_db
+    sc = pairs.sparkSession.sparkContext
+    slim = signatures.select("clip_id", "fp").toPandas()
+    fps = np.zeros((len(slim), cfg.fingerprint_dim), dtype=np.float32)
+    for i, v in enumerate(slim["fp"]):
+        if v is not None:
+            fps[i] = v
+    blookup = sc.broadcast(build_fp_lookup(slim["clip_id"].to_numpy(), fps))
+    thr, margin = cfg.cosine_threshold, quant_margin(cfg.fingerprint_dim)
+    acc_in = sc.accumulator(0)
+    acc_int8 = sc.accumulator(0)
+    if stats is not None:
+        stats["pairs_in"] = acc_in
+        stats["int8_pass"] = acc_int8
 
-    # phase 1 — JVM-side fingerprint cosine. The candidate set is the big
-    # frame (tens of pairs per clip when fingerprints are near-parallel en
-    # masse), and almost all of it dies at this test — so the test runs in
-    # whole-stage codegen on a 128-byte column, with NO python round-trip and
-    # no sketch bytes attached. Fingerprints are L2-normalized at creation;
-    # a zero vector (silence) gives dot = 0.0 — NOT null — so such pairs are
-    # dropped only because cosine_threshold > 0. That positive threshold is
-    # the zero-magnitude guard here (the reference's explicit branch is
-    # lsh.h:151-155); don't set cosine_threshold ≤ 0.
+    def gen(batches):
+        lk = blookup.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep, cos, n_int8 = pair_cosines(
+                lk, pdf["a"].to_numpy(), pdf["b"].to_numpy(), thr, margin
+            )
+            acc_in.add(len(pdf))
+            acc_int8.add(n_int8)
+            out = pdf.iloc[keep][["a", "b", "source"]].copy()
+            out["cosine"] = cos
+            yield out
+
+    return pairs.mapInPandas(gen, schema=PRE_SCHEMA)
+
+
+def _phase1_cosine_join(
+    pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Join-based phase 1 — the beyond-broadcast-scale path (fingerprint side
+    too big to collect): two equi-joins attach fp rows, the dot runs JVM-side
+    in whole-stage codegen. At 10¹² clips these become sort-merge joins on a
+    bucketed signatures table; below ``fp_collect_max_rows`` the broadcast
+    kernel above is strictly better (one build vs 3+, NOTES.md round-3 saga).
+    Fingerprints are L2-normalized at creation; a zero vector (silence) gives
+    dot = 0.0 — NOT null — so such pairs are dropped only because
+    cosine_threshold > 0. That positive threshold is the zero-magnitude guard
+    here (the reference's explicit branch is lsh.h:151-155); don't set
+    cosine_threshold ≤ 0."""
     fp_side = signatures.select("clip_id", "fp")
-    pairs = _spread(pairs)
     withf = _attach(pairs, fp_side, {"fp": "fa"}, "a", shrink=False)
     withf = _attach(withf, fp_side, {"fp": "fb"}, "b", shrink=False)
     dot = F.aggregate(
@@ -136,24 +171,48 @@ def verify_audio_pairs(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    # survivors are tiny (≈ true-dup count); materialize once — the phase-2/3
-    # semi-join shrinks reference this frame four times, and uncheckpointed
-    # each reference would re-run the full candidate join+filter
-    cos_pass = (
+    return (
         withf.withColumn("cosine", dot)
-        .filter(F.col("cosine") >= cos_thr)
+        .filter(F.col("cosine") >= cfg.cosine_threshold)
         .select("a", "b", "source", "cosine")
-        .localCheckpoint(eager=True)
     )
 
-    pre_schema = StructType(
-        [
-            StructField("a", StringType(), False),
-            StructField("b", StringType(), False),
-            StructField("source", StringType(), False),
-            StructField("cosine", DoubleType(), False),
-        ]
-    )
+
+def verify_audio_pairs(
+    pairs: DataFrame, clips: DataFrame, signatures: DataFrame, cfg: DedupConfig,
+    stats: "dict | None" = None,
+) -> DataFrame:
+    """(a, b, source) → verified (a, b, source, cosine, snr_db).
+
+    Three phases, each shrinking the set before the next gets more expensive:
+    1. fingerprint cosine — int8-quantized prefilter + exact float64 dot in
+       one ``mapInPandas`` against a single Python-broadcast lookup (see
+       ``_phase1_cosine_broadcast``; join fallback above the collect ceiling) —
+       kills the giant hot-band star pairs and the mass of near-parallel
+       non-duplicates;
+    2. decimated-PCM sketch SNR from signatures, survivors only — kills
+       "fingerprint twins" without touching bytes (threshold is
+       ``snr_db_threshold - sketch_margin_db``: the sketch is an estimator);
+    3. full decoded-PCM pair SNR (the BASELINE.json per-row invariant) — the
+       authoritative check, now on a set bounded by the true duplicate count,
+       so audio bytes are only ever joined for rows that are almost certainly
+       duplicates.
+
+    ``stats``, when provided, receives Spark accumulators ``pairs_in`` /
+    ``int8_pass`` (read their ``.value`` after an action) — the
+    candidate-mass-reduction evidence recorded by bench.
+    """
+    sketch_thr = cfg.snr_db_threshold - cfg.sketch_margin_db
+
+    pairs = _spread(pairs)
+    if signatures.count() <= cfg.fp_collect_max_rows:
+        phase1 = _phase1_cosine_broadcast(pairs, signatures, cfg, stats=stats)
+    else:
+        phase1 = _phase1_cosine_join(pairs, signatures, cfg)
+    # survivors are tiny (≈ true-dup count); materialize once — the phase-2/3
+    # semi-join shrinks reference this frame four times, and uncheckpointed
+    # each reference would re-run the full candidate scan+filter
+    cos_pass = phase1.localCheckpoint(eager=True)
 
     # phase 2: decimated-PCM sketch SNR on the cosine survivors only — kills
     # "fingerprint twins" (different clips whose spectra coincide) without
@@ -174,7 +233,7 @@ def verify_audio_pairs(
                 ["a", "b", "source", "cosine"]
             ]
 
-    survivors = withs.mapInPandas(sketch_filter, schema=pre_schema).localCheckpoint(eager=True)
+    survivors = withs.mapInPandas(sketch_filter, schema=PRE_SCHEMA).localCheckpoint(eager=True)
 
     # phase 3: authoritative decoded-PCM SNR; bytes join only for survivors
     # (spread again: the survivor frame is small in bytes but each row costs

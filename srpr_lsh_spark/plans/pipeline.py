@@ -105,6 +105,8 @@ def run_dedup(
     if stop_after == "candidates":
         return out
 
+    audio_stats: dict = {}
+
     def build_verified() -> DataFrame:
         exact = _pad(exact_content_edges(sigs))
         text = _pad(
@@ -112,7 +114,8 @@ def run_dedup(
         )
         audio = _pad(
             verify_audio_pairs(
-                cands.filter(F.col("source") == SOURCE_SIMHASH), clips, sigs, cfg
+                cands.filter(F.col("source") == SOURCE_SIMHASH), clips, sigs, cfg,
+                stats=audio_stats,
             )
         )
         sub_cand = cands.filter(F.col("source") == "substr").select(
@@ -123,6 +126,9 @@ def run_dedup(
 
     verified, sk = wh.stage("verified_pairs", build_verified)
     note("verified_pairs", sk)
+    # candidate-mass reduction through the audio verify ladder (accumulators
+    # populated by the stage action above; empty when the stage was resumed)
+    out["verify_stats"] = {k: v.value for k, v in audio_stats.items()}
     out["verified_pairs"] = verified
     if stop_after == "verified_pairs":
         return out

@@ -75,12 +75,16 @@ def recommend(
         from pyspark.sql.types import ArrayType, FloatType
 
         uv = [float(x) for x in m.user_vector(user_id)]
+        # honest schema: the query row is a USER vector probing the item
+        # index — query_id_col names it, and (r4) no self-exclusion applies,
+        # so an item whose id numerically equals the user id is retrievable
+        # (it silently wasn't while the user id was aliased as item_id)
         query = spark.createDataFrame(
             [(int(user_id), uv)],
             StructType(
                 [
-                    StructField("item_id", LongType(), False),
-                    StructField("embedding", ArrayType(FloatType(), False), False),
+                    StructField("user_id", LongType(), False),
+                    StructField("user_vec", ArrayType(FloatType(), False), False),
                 ]
             ),
         )
@@ -89,12 +93,14 @@ def recommend(
             t0 = time.time()
             if method == "brute":
                 got = brute_topk(
-                    items, query, id_col="item_id", vec_col="embedding", k=k
+                    items, query, id_col="item_id", vec_col="embedding", k=k,
+                    query_id_col="user_id", query_vec_col="user_vec",
                 )
             else:
                 got = lsh_topk(
                     items, query, id_col="item_id", vec_col="embedding",
                     dim=m.d, k=k, tables=tables, bits=bits, seed=seed,
+                    query_id_col="user_id", query_vec_col="user_vec",
                 )
             got = got.select(
                 F.col("rnk").cast("long"),
@@ -108,7 +114,11 @@ def recommend(
         gt, lsh = per_method["brute"][0], per_method["lsh"][0]
         hits = lsh.join(gt.select("item_id"), "item_id", "left_semi").count()
         n_gt = gt.count()
-        prec = hits / k
+        # the reference normalizes by the ACTUAL retrieved-list length
+        # (MetricsCalculator.h:153,171: k = lsh_results.size()), not the
+        # nominal k — they differ when LSH returns fewer than k candidates
+        n_lsh = lsh.count()
+        prec = hits / n_lsh if n_lsh else 0.0
         rec = hits / n_gt if n_gt else 0.0
         for method, (got, ms) in per_method.items():
             is_lsh = method == "lsh"

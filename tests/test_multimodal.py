@@ -249,6 +249,20 @@ class TestPngBmp:
         img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
         assert np.array_equal(decode_image(encode_bmp(img), "bmp"), img)
 
+    def test_bmp_coreheader_rejected_cleanly(self):
+        """A 12-byte BITMAPCOREHEADER lays out w/h/bpp at different offsets;
+        parsing it with the INFOHEADER layout would read garbage — the codec
+        must refuse explicitly instead (ADVICE r3)."""
+        import struct
+
+        # BITMAPCOREHEADER: size=12, w=4, h=4 (uint16!), planes=1, bpp=24
+        dib = struct.pack("<IHHHH", 12, 4, 4, 1, 24)
+        body = b"\x00" * (4 * 3 + 0) * 4
+        off = 14 + len(dib)
+        hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+        with pytest.raises(ValueError, match="DIB header"):
+            decode_image(hdr + dib + body, "bmp")
+
 
 def test_features_normalized():
     img = decode_image(b"x", SUPPORTED_FAKE)

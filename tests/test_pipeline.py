@@ -154,3 +154,42 @@ def test_verified_pair_evidence_columns(result):
     if len(sh):
         assert (sh["cosine"] >= CFG.cosine_threshold).all()
         assert (sh["snr_db"] >= CFG.snr_db_threshold).all()
+
+
+def test_g711_reencode_dedups_against_pcm_original(spark, tmp_path):
+    """A μ-law/A-law re-encode of a clip (same audio, different codec —
+    byte-unequal, so the exact-content path can't link it) must still dedup
+    against the PCM16 original through the audio path: near-parallel
+    fingerprints → same SRP buckets → cosine + SNR verify (G.711 round trip
+    keeps SNR ≥ ~35 dB, above the 30 dB threshold)."""
+    import numpy as np
+
+    from srpr_lsh_spark.kernels.audio import encode_g711_wav, encode_pcm16_wav
+    from srpr_lsh_spark.sources.readers import clips_schema
+
+    rng = np.random.default_rng(17)
+    t = np.arange(8000) / 16000.0
+
+    def tone(f1, f2):
+        return 0.4 * np.sin(2 * np.pi * f1 * t) + 0.2 * np.sin(2 * np.pi * f2 * t)
+
+    x = tone(523.0, 1777.0)
+    other = tone(211.0, 941.0) + 0.05 * rng.normal(size=t.size)
+    rows = [
+        ("orig", encode_pcm16_wav(x, 16000), 16000, 500, "pcm_s16le", "alpha words"),
+        ("mulaw", encode_g711_wav(x, 16000, "pcm_mulaw"), 16000, 500, "pcm_mulaw",
+         "beta text"),
+        ("alaw", encode_g711_wav(x, 16000, "pcm_alaw"), 16000, 500, "pcm_alaw",
+         "gamma talk"),
+        ("other", encode_pcm16_wav(other, 16000), 16000, 500, "pcm_s16le",
+         "delta speech"),
+    ]
+    clips = spark.createDataFrame(
+        [(cid, bytearray(b), sr, d, c, tr) for cid, b, sr, d, c, tr in rows],
+        clips_schema(),
+    )
+    res = run_dedup(spark, clips, CFG, warehouse_dir=str(tmp_path / "wh"),
+                    resume=False, input_key="g711_test")
+    got = {r["clip_id"]: r["cluster_id"] for r in res["clusters"].collect()}
+    assert got["orig"] == got["mulaw"] == got["alaw"]
+    assert got["other"] != got["orig"]

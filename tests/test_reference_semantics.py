@@ -87,6 +87,28 @@ class TestMetricsMicro:
         assert rows[0]["n_recall_at_k"] == pytest.approx(1.0)
         assert rows[1]["n_recall_at_k"] == pytest.approx(0.0)
 
+    def test_nrecall_short_retrieval_normalizes_by_actual_count(self, spark):
+        """MetricsCalculator.h:121 sets k = lsh_results.size() — the ACTUAL
+        retrieved-list length. A user whose retrieval returned only 2 rows
+        at nominal k=10 is normalized by min(2, n_max), and a Umax user with
+        zero retrieved rows scores 0.0 (ideal>0 guard)."""
+        from srpr_lsh_spark.functions.metrics import nrecall_at_k
+
+        ratings = spark.createDataFrame(
+            [(0, i, 5.0) for i in (1, 2, 3, 4, 5)] + [(1, 7, 5.0)],
+            ["query_id", "item_id", "rating"],
+        )
+        results = spark.createDataFrame(  # user 0: 2 rows, 1 hit; user 1: none
+            [(0, 1, 1), (0, 9, 2)], ["query_id", "item_id", "rnk"]
+        )
+        rows = {r["query_id"]: r for r in nrecall_at_k(
+            results, ratings, max_rating_value=5.0, k=10
+        ).collect()}
+        assert rows[0]["hits"] == 1
+        # 1 / min(n_retrieved=2, n_max=5) — NOT 1 / min(k=10, 5)
+        assert rows[0]["n_recall_at_k"] == pytest.approx(0.5)
+        assert rows[1]["n_recall_at_k"] == 0.0
+
     def test_empty_result_query_scores_zero(self, spark):
         """A query whose retrieval returns nothing still counts in the macro
         averages with zero metrics (MetricsCalculator.h:142-145)."""
@@ -167,6 +189,24 @@ class TestCsvScan:
         assert df.schema["rating"].dataType.typeName() == "double"
         full = read_ratings_csv(spark, str(p))
         assert full.count() == 30
+
+    def test_read_triplets_header_sniff(self, spark, tmp_path):
+        """load_triplets (src/Triplet.h:29-81): (user,pos,neg) rows load
+        identically whether or not the file carries a header line — the
+        declarative analogue of the reference's line-1 substring sniff."""
+        from srpr_lsh_spark.sources.readers import read_triplets_csv
+
+        rows = [(1, 10, 20), (1, 11, 21), (2, 12, 22)]
+        body = "\n".join(f"{u},{p_},{n}" for u, p_, n in rows)
+        with_h = tmp_path / "t_header.csv"
+        with_h.write_text("user_id,preferred_item_id,less_preferred_item_id\n" + body)
+        without_h = tmp_path / "t_plain.csv"
+        without_h.write_text(body)
+        got_h = sorted(map(tuple, read_triplets_csv(spark, str(with_h)).collect()))
+        got_p = sorted(map(tuple, read_triplets_csv(spark, str(without_h)).collect()))
+        assert got_h == got_p == sorted(rows)
+        df = read_triplets_csv(spark, str(with_h))
+        assert [f.dataType.typeName() for f in df.schema.fields] == ["long"] * 3
 
 
 class TestSweep:

@@ -115,6 +115,66 @@ def test_stream_exact_dedup_cross_batch_state(spark, tmp_path):
     assert keys == 3
 
 
+class _FakeGroupState:
+    """Mimics Spark's per-key GroupState bookkeeping: every invocation
+    CLEARS the pending processing-time timeout (Spark semantics) — the state
+    fn must re-arm it each call or the key never expires."""
+
+    def __init__(self, exists=False, timed_out=False):
+        self.exists = exists
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.updated = None
+        self.timeout_ms = None  # cleared at every invocation, as Spark does
+
+    def remove(self):
+        self.removed = True
+
+    def update(self, v):
+        self.updated = v
+        self.exists = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_stream_dedup_ttl_rearm_on_duplicate_arrival():
+    """ADVICE r3: the duplicate-arrival branch must RE-ARM the TTL before
+    returning — a key receiving a steady stream of duplicates must still
+    expire. (Function-level test: a real ProcessingTimeTimeout can't be
+    driven under availableNow — Spark schedules no-data batches until every
+    pending timeout fires, so such a query never terminates.)"""
+    import pandas as pd
+
+    from srpr_lsh_spark.streaming.ingest import _dedup_state_fn
+
+    fn = _dedup_state_fn(ttl_minutes=60)
+    batch = [pd.DataFrame({"clip_id": ["c7", "c3"]})]
+
+    # first sight: emits winner, arms TTL
+    st = _FakeGroupState()
+    out = list(fn(("k",), iter(batch), st))
+    assert len(out) == 1 and out[0]["clip_id"][0] == "c3"
+    assert st.timeout_ms == 60 * 60 * 1000
+
+    # duplicate arrival: drops rows AND re-arms the (Spark-cleared) timeout
+    st2 = _FakeGroupState(exists=True)
+    out2 = list(fn(("k",), iter(batch), st2))
+    assert out2 == []
+    assert st2.timeout_ms == 60 * 60 * 1000  # the ADVICE fix
+
+    # fired timeout: state removed, nothing emitted
+    st3 = _FakeGroupState(exists=True, timed_out=True)
+    assert list(fn(("k",), iter([]), st3)) == []
+    assert st3.removed
+
+    # without TTL the timeout API is never touched
+    fn0 = _dedup_state_fn(ttl_minutes=0)
+    st4 = _FakeGroupState(exists=True)
+    assert list(fn0(("k",), iter(batch), st4)) == []
+    assert st4.timeout_ms is None
+
+
 def test_windowed_rollup_matches_batch_oracle(spark):
     import datetime as dt
 
