@@ -99,13 +99,23 @@ def containment_candidates(
 
 
 def verify_containment(cands: DataFrame, clips: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Suffix-array verification → (a, b, source='substr') true containments."""
+    """Suffix-array verification → (a, b, source='substr') true containments.
+
+    Runs as ``mapInPandas`` over a ROUND-ROBIN-repartitioned candidate frame,
+    grouping by container WITHIN each Arrow batch — not ``groupBy(long)
+    .applyInPandas``: the group-shuffle's AQE coalescing targets shuffle
+    BYTES, and a few MB of candidate rows collapse to 2-3 partitions that
+    then serialize ~14 s of suffix-array CPU onto as many cores (measured at
+    200k clips, flat from 4 to 16 cores — the NOTES.md gotcha #7 shape).
+    Splitting a container's group across batches only costs rebuilding its
+    (small) suffix array per fragment; correctness is per-candidate."""
     t = clips.select("clip_id", "transcript")
     withs = cands.join(
         t.select(F.col("clip_id").alias("short"), F.col("transcript").alias("ts")), "short"
     ).join(
         t.select(F.col("clip_id").alias("long"), F.col("transcript").alias("tl")), "long"
     )
+    withs = withs.repartition(withs.sparkSession.sparkContext.defaultParallelism)
 
     schema = StructType(
         [
@@ -115,20 +125,25 @@ def verify_containment(cands: DataFrame, clips: DataFrame, cfg: DedupConfig) -> 
         ]
     )
 
-    def check_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one suffix array per container; candidates normalized in one batch,
-        # then each probed with an O(|ts| log |tl|) binary search (the search
-        # itself is inherently per-candidate — it IS the work, not overhead)
-        tl = normalize_transcript([pdf["tl"].iloc[0]])[0].encode("utf-8")
-        sa = suffix_array(tl)
-        tss = normalize_transcript(pdf["ts"].tolist())
-        out_a, out_b = [], []
-        for short, long_, ts in zip(pdf["short"], pdf["long"], tss):
-            tsb = ts.encode("utf-8")
-            if len(tsb) and sa_contains(tl, sa, tsb):
-                lo, hi = sorted([short, long_])
-                out_a.append(lo)
-                out_b.append(hi)
-        return pd.DataFrame({"a": out_a, "b": out_b, "source": "substr"})
+    def check_batch(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_a, out_b = [], []
+            for _long, grp in pdf.groupby("long", sort=False):
+                # one suffix array per container fragment; candidates
+                # normalized in one batch, then each probed with an
+                # O(|ts| log |tl|) binary search (the search itself is
+                # inherently per-candidate — it IS the work, not overhead)
+                tl = normalize_transcript([grp["tl"].iloc[0]])[0].encode("utf-8")
+                sa = suffix_array(tl)
+                tss = normalize_transcript(grp["ts"].tolist())
+                for short, long_, ts in zip(grp["short"], grp["long"], tss):
+                    tsb = ts.encode("utf-8")
+                    if len(tsb) and sa_contains(tl, sa, tsb):
+                        lo, hi = sorted([short, long_])
+                        out_a.append(lo)
+                        out_b.append(hi)
+            yield pd.DataFrame({"a": out_a, "b": out_b, "source": "substr"})
 
-    return withs.groupBy("long").applyInPandas(check_group, schema=schema)
+    return withs.mapInPandas(check_batch, schema=schema)

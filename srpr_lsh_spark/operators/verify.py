@@ -97,6 +97,27 @@ def verify_text_pairs(pairs: DataFrame, clips: DataFrame, cfg: DedupConfig) -> D
     return withz.mapInPandas(gen, schema=schema)
 
 
+def _collect_fp_matrix(signatures: DataFrame, dim: int) -> "tuple[np.ndarray, np.ndarray]":
+    """Driver-side: the slim ``(clip_id, fp)`` projection as (ids, (n, d)
+    float32) — via ``toArrow`` + a flat offsets/values view of the list
+    column (no 200k-iteration Python conversion loop; the collect is the one
+    driver-serial step of the broadcast phase-1 plan, so its constant
+    matters). Rows with missing/short fp stay zero (= silence, never links)."""
+    tbl = signatures.select("clip_id", "fp").toArrow()
+    ids = tbl.column("clip_id").to_numpy(zero_copy_only=False)
+    col = tbl.column("fp").combine_chunks()
+    values = col.values.to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+    offsets = col.offsets.to_numpy()
+    n = len(ids)
+    fps = np.zeros((n, dim), dtype=np.float32)
+    lens = np.diff(offsets)
+    full = np.flatnonzero(lens == dim)
+    if full.size:
+        gather = (offsets[:-1][full][:, None] + np.arange(dim)[None, :]).ravel()
+        fps[full] = values[gather].reshape(-1, dim)
+    return ids, fps
+
+
 PRE_SCHEMA = StructType(
     [
         StructField("a", StringType(), False),
@@ -120,12 +141,8 @@ def _phase1_cosine_broadcast(
     from srpr_lsh_spark.kernels.cosine import build_fp_lookup, pair_cosines, quant_margin
 
     sc = pairs.sparkSession.sparkContext
-    slim = signatures.select("clip_id", "fp").toPandas()
-    fps = np.zeros((len(slim), cfg.fingerprint_dim), dtype=np.float32)
-    for i, v in enumerate(slim["fp"]):
-        if v is not None:
-            fps[i] = v
-    blookup = sc.broadcast(build_fp_lookup(slim["clip_id"].to_numpy(), fps))
+    ids, fps = _collect_fp_matrix(signatures, cfg.fingerprint_dim)
+    blookup = sc.broadcast(build_fp_lookup(ids, fps))
     thr, margin = cfg.cosine_threshold, quant_margin(cfg.fingerprint_dim)
     acc_in = sc.accumulator(0)
     acc_int8 = sc.accumulator(0)
