@@ -193,3 +193,40 @@ def test_g711_reencode_dedups_against_pcm_original(spark, tmp_path):
     got = {r["clip_id"]: r["cluster_id"] for r in res["clusters"].collect()}
     assert got["orig"] == got["mulaw"] == got["alaw"]
     assert got["other"] != got["orig"]
+
+
+def test_phase1_join_fallback_matches_broadcast_plan(spark, tmp_path):
+    """The two phase-1 plans — python-broadcast lookup (below
+    fp_collect_max_rows) and the join-based beyond-broadcast-scale fallback —
+    must verify the SAME pairs with the SAME cosines: the int8 prefilter is
+    sound (margin bound), so plan choice can never change results."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from srpr_lsh_spark.operators.banding import SOURCE_SIMHASH, space_candidates
+    from srpr_lsh_spark.operators.signatures import compute_signatures
+    from srpr_lsh_spark.operators.verify import verify_audio_pairs
+
+    clips, _ = synthesize_clips(
+        spark,
+        SynthParams(n_clips=400, block_size=100, seed=7, min_dur_ms=300, max_dur_ms=900),
+        out_dir=str(tmp_path / "d"),
+    )
+    cfg = CFG
+    sigs = compute_signatures(clips, cfg).localCheckpoint(eager=True)
+    cands = space_candidates(sigs, cfg, SOURCE_SIMHASH).localCheckpoint(eager=True)
+
+    def rows(df):
+        return sorted(
+            (r["a"], r["b"], r["source"], round(r["cosine"], 9), round(r["snr_db"], 6))
+            for r in df.collect()
+        )
+
+    got_bcast = rows(verify_audio_pairs(cands, clips, sigs, cfg))
+    cfg_join = dataclasses.replace(cfg, fp_collect_max_rows=0)  # force fallback
+    got_join = rows(verify_audio_pairs(cands, clips, sigs, cfg_join))
+    assert got_bcast == got_join
+    assert len(got_bcast) > 0
+    # plan knob must not invalidate checkpoints (layout field, not semantics)
+    assert cfg.config_hash() == cfg_join.config_hash()
