@@ -409,34 +409,46 @@ def run_scaling(sf_dir: str, n_clips: int = 20000, n_lo: int = 1, n_hi: int = 4,
     efficiency = (T_lo / T_hi) / (n_hi / n_lo)."""
     data_dir = _synthesize_shared_corpus(sf_dir, n_clips)
     studies = []
+    failed: list[str] = []
+    # Study T (HEADLINE): thread mode, 2 vs 8 cores in one JVM — the
+    # round brief's sanctioned stand-in ("e.g. local[8] and local[32],
+    # or N and 4N cores"). The 2→8 shape keeps BOTH levels well under
+    # the socket's memory-bandwidth capacity, so the comparison measures
+    # the JOB's scaling rather than the single-box artifact where adding
+    # threads divides per-core DRAM bandwidth (a real cluster adds
+    # bandwidth with every executor; r3 kernel probes measured 0.83
+    # ceiling at 16 workers even for cache-blocked kernels).
+    #
+    # Study B: thread mode, 4 vs 16 cores — the bandwidth-STRESS shape
+    # (16 worker threads + python workers saturate the socket). Reported
+    # with per-stage decomposition so the gap to Study T is attributable.
+    #
+    # Study P: process-isolated executor JVMs — demonstrates the
+    # multi-executor deployment path (addPyFile shipping, cross-JVM
+    # shuffle, identical outputs); on THIS host its 4-executor level
+    # pays a measured kernel tax no real cluster pays, so it is
+    # supporting evidence, not the headline.
+    shapes = (
+        dict(cores=cores or 2, reps=reps, mode="threads",
+             label="Study T (headline)"),
+        dict(cores=4, reps=max(1, reps - 1), mode="threads",
+             label="Study B (bandwidth stress)"),
+        dict(cores=cores or 4, reps=max(1, reps - 2), mode="process",
+             label="Study P (architecture)"),
+    )
     try:
-        # Study T (HEADLINE): thread mode, 2 vs 8 cores in one JVM — the
-        # round brief's sanctioned stand-in ("e.g. local[8] and local[32],
-        # or N and 4N cores"). The 2→8 shape keeps BOTH levels well under
-        # the socket's memory-bandwidth capacity, so the comparison measures
-        # the JOB's scaling rather than the single-box artifact where adding
-        # threads divides per-core DRAM bandwidth (a real cluster adds
-        # bandwidth with every executor; r3 kernel probes measured 0.83
-        # ceiling at 16 workers even for cache-blocked kernels).
-        studies.append(_run_shape(sf_dir, data_dir, n_clips, cores or 2,
-                                  n_lo, n_hi, reps, mode="threads",
-                                  label="Study T (headline)"))
-        # Study B: thread mode, 4 vs 16 cores — the bandwidth-STRESS shape
-        # (16 worker threads + python workers saturate the socket). Reported
-        # with per-stage decomposition so the gap to Study T is attributable.
-        studies.append(_run_shape(sf_dir, data_dir, n_clips, 4,
-                                  n_lo, n_hi, max(1, reps - 1),
-                                  mode="threads",
-                                  label="Study B (bandwidth stress)"))
-        # Study P: process-isolated executor JVMs — demonstrates the
-        # multi-executor deployment path (addPyFile shipping, cross-JVM
-        # shuffle, identical outputs); on THIS host its 4-executor level
-        # pays a measured kernel tax no real cluster pays, so it is
-        # supporting evidence, not the headline.
-        studies.append(_run_shape(sf_dir, data_dir, n_clips, cores or 4,
-                                  n_lo, n_hi, max(1, reps - 2),
-                                  mode="process",
-                                  label="Study P (architecture)"))
+        for sh in shapes:
+            # a failing shape (e.g. the 1-executor level OOMing at a corpus
+            # the thread levels handle) must not lose the completed studies
+            try:
+                studies.append(_run_shape(
+                    sf_dir, data_dir, n_clips, sh["cores"], n_lo, n_hi,
+                    sh["reps"], mode=sh["mode"], label=sh["label"]))
+            except Exception as e:  # noqa: BLE001 — report what survived
+                failed.append(f"{sh['label']}: {e}")
+                sys.stderr.write(f"shape failed, continuing: {sh['label']}: {e}\n")
+        if not studies:
+            raise RuntimeError(f"every study shape failed: {failed}")
     finally:
         shutil.rmtree(data_dir, ignore_errors=True)
 
@@ -485,6 +497,8 @@ def run_scaling(sf_dir: str, n_clips: int = 20000, n_lo: int = 1, n_hi: int = 4,
     ]
     for s in studies:
         lines += _shape_section(s)
+    for f_ in failed:
+        lines += [f"**Shape did not complete on this host:** {f_}", ""]
     lines += [
         "## Reproduce",
         "",
