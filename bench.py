@@ -246,8 +246,13 @@ def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
         out["n_clusters"] = best["n_clusters"]
         out["stage_secs"] = best["stage_secs"]
         # candidate-mass reduction through the audio verify ladder:
-        # pairs_in → int8_pass (quantized prefilter survivors) → exact cosine
+        # pairs_in → int8_pass (quantized prefilter survivors) → exact cosine.
+        # AT-LEAST-ONCE evidence (accumulators updated in a transformation —
+        # task retries inflate them; ADVICE r4 #2); empty when the small-
+        # candidate gate picked the plain join plan (no accumulators there).
         out["verify_stats"] = best["verify_stats"]
+        if best["verify_stats"]:
+            out["verify_stats"]["semantics"] = "at-least-once"
         # BASELINE.json acceptance metric: dup-pair recall / precision vs the
         # planted oracle clusters (computed outside the timed window)
         out.update(_pair_quality(best["res"]["clusters"], oracle))
@@ -282,7 +287,17 @@ def _one_scaling_run(sf_dir: str, n_exec: "int | None", cores: int,
     ]
     if n_exec is not None:
         cmd += ["--executors", str(n_exec)]
+    # RUSAGE_CHILDREN delta around the (serial) sub-run: the child's rusage —
+    # including the JVM and python workers it reaped — accrues to this process
+    # when the child exits, giving CPU-seconds alongside wall time. That's the
+    # evidence that separates "less parallel speedup because the work
+    # serialized" from "because the socket ran out of memory bandwidth":
+    # equal CPU at both levels + longer wall = stall time (VERDICT r4 #1).
+    import resource
+
+    ru0 = resource.getrusage(resource.RUSAGE_CHILDREN)
     proc = subprocess.run(cmd, capture_output=True, text=True)
+    ru1 = resource.getrusage(resource.RUSAGE_CHILDREN)
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr[-4000:])
         raise RuntimeError(
@@ -292,7 +307,11 @@ def _one_scaling_run(sf_dir: str, n_exec: "int | None", cores: int,
         l for l in proc.stdout.strip().splitlines()
         if l.startswith("{") and '"metric"' in l
     ][-1]
-    return json.loads(line)
+    out = json.loads(line)
+    out["cpu_sec"] = round(
+        (ru1.ru_utime + ru1.ru_stime) - (ru0.ru_utime + ru0.ru_stime), 1
+    )
+    return out
 
 
 def _synthesize_shared_corpus(sf_dir: str, n_clips: int) -> str:
@@ -359,15 +378,20 @@ def _shape_section(s: dict) -> "list[str]":
         lvl = lambda n: f"local-cluster[{n},{cores},8g]"
         title = (f"## {s['label'] or 'Study P'}: process-isolated executors, "
                  f"shape = {cores} cores, {n_lo} vs {n_hi} executors")
+    cpu = lambda n: s["best"][n].get("cpu_sec")
     lines = [
         title,
         "",
-        "| executors | master | dedup wall (s) | clips/sec |",
-        "|---|---|---|---|",
+        "| executors | master | dedup wall (s) | clips/sec | process-tree CPU (s) |",
+        "|---|---|---|---|---|",
         f"| {n_lo} | `{lvl(n_lo)}` | {s['t_lo']} | "
-        f"{s['best'][n_lo]['clips_per_sec']} |",
+        f"{s['best'][n_lo]['clips_per_sec']} | {cpu(n_lo)} |",
         f"| {n_hi} | `{lvl(n_hi)}` | {s['t_hi']} | "
-        f"{s['best'][n_hi]['clips_per_sec']} |",
+        f"{s['best'][n_hi]['clips_per_sec']} | {cpu(n_hi)} |",
+        "",
+        "(CPU column = RUSAGE_CHILDREN of the whole sub-run process tree, "
+        "synthesis-read + dedup + session setup; equal CPU at both levels "
+        "with sub-linear wall speedup = stall/bandwidth, not extra work.)",
         "",
         f"**Scaling efficiency (T_{n_lo}exec / T_{n_hi}exec) / "
         f"{s['ratio']:.0f} = {s['eff']:.3f}** (target ≥ 0.8); measured Amdahl "
@@ -452,7 +476,17 @@ def run_scaling(sf_dir: str, n_clips: int = 20000, n_lo: int = 1, n_hi: int = 4,
     finally:
         shutil.rmtree(data_dir, ignore_errors=True)
 
-    head = studies[0]
+    # headline by LABEL, not position: if Study T failed on this host, the
+    # report must say the headline is a fallback rather than silently
+    # promoting the bandwidth-stress or process shape (ADVICE r4 #3)
+    head = next(
+        (s for s in studies if s["label"].startswith("Study T")), studies[0]
+    )
+    head_note = (
+        "" if head["label"].startswith("Study T")
+        else f" — **FALLBACK**: Study T did not complete on this host; "
+             f"headline taken from {head['label']}"
+    )
     lines = [
         "# BENCH — N vs 4N executor scaling evidence "
         "(machine-generated by `python bench.py --scaling`)",
@@ -490,9 +524,9 @@ def run_scaling(sf_dir: str, n_clips: int = 20000, n_lo: int = 1, n_hi: int = 4,
         "  kernel/disks/NICs, does not pay. Study P is therefore",
         "  architecture evidence, not the scaling headline.",
         "",
-        f"**HEADLINE scaling efficiency (Study T, "
+        f"**HEADLINE scaling efficiency ({head['label'] or 'Study T'}, "
         f"{head['n_lo'] * head['cores']} → {head['n_hi'] * head['cores']} "
-        f"cores): {head['eff']:.3f}** (target ≥ 0.8)",
+        f"cores): {head['eff']:.3f}** (target ≥ 0.8){head_note}",
         "",
     ]
     for s in studies:
@@ -521,6 +555,7 @@ def run_scaling(sf_dir: str, n_clips: int = 20000, n_lo: int = 1, n_hi: int = 4,
         f.write("\n".join(lines))
     print(json.dumps({
         "scaling_efficiency": round(head["eff"], 3),
+        "headline_study": head["label"],
         "parallel_fraction": round(head["frac"], 3),
         "studies": {
             (s["label"] or s["mode"]): {
@@ -545,8 +580,10 @@ def main() -> None:
     ap.add_argument("--executors", type=int, default=None,
                     help="run as local-cluster[N,cpus,8g]: N separate executor JVMs")
     ap.add_argument("--bench-reps", type=int,
-                    default=int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")),
-                    help="default-mode dedup repetitions (min + median reported)")
+                    default=int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")),
+                    help="default-mode dedup repetitions (min + median + raw "
+                         "runs reported; 3 by default so the per-round line "
+                         "carries its own error bar — VERDICT r4 #3)")
     ap.add_argument("--cores", type=int, default=None,
                     help="scaling study: cores per executor (the executor "
                          "'shape'); default runs BOTH the 2-core headline "

@@ -61,6 +61,13 @@ class DedupConfig:
     # the join-based plan (the 10¹²-clip path: sort-merge on bucketed
     # signatures). 5M rows ≈ 0.9 GB payload at d=32 — a sane broadcast ceiling.
     fp_collect_max_rows: int = 5_000_000
+    # below this many TOTAL candidate rows (warehouse manifest count — driver
+    # metadata, no job) the audio verify skips the broadcast ladder and runs
+    # the plain JVM-join phase-1 plan: the ladder's fixed costs (collect,
+    # broadcast build, spread shuffles) only pay for themselves on big
+    # candidate sets (measured: win at 200k clips, 2.4× loss at 20k —
+    # VERDICT r4 #2). Both plans are parity-tested equal.
+    verify_small_join_max_pairs: int = 400_000
     snr_db_threshold: float = 30.0   # decoded-PCM pair SNR acceptance (input_hint)
     sketch_points: int = 512         # decimated-PCM sketch length (~1 ms stride)
     sketch_margin_db: float = 3.0    # sketch-SNR prefilter slack vs full check
@@ -103,6 +110,7 @@ class DedupConfig:
         "cc_max_iters",
         "input_split_bytes",
         "fp_collect_max_rows",  # picks the phase-1 plan, never the result
+        "verify_small_join_max_pairs",  # ditto
         "extra",
     )
 

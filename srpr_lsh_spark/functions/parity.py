@@ -824,14 +824,25 @@ def q_shingle_count(spark, sf_dir):
     return d.mapInPandas(gen, schema=schema)
 
 
+# The whitespace class matches Python ``str.split()`` exactly (ASCII ws +
+# \x1c-\x1f + NEL + NBSP + the Unicode space separators) — RE2's ``\s`` is
+# ASCII-only, which diverges on e.g. NBSP. The final LEFT JOIN + coalesce
+# keeps doc_ids whose normalized text is shorter than k (or null/empty): the
+# Spark kernel emits n_shingles=0 for those, while a bare
+# unnest(generate_series(1,0)) would drop the row (ADVICE r4 #1).
 SQL_shingle_count = r"""
 WITH nt AS (
-  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  SELECT doc_id,
+         lower(trim(regexp_replace(text,
+           '[\t\n\x0b\f\r \x1c-\x1f\x{85}\x{a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+',
+           ' ', 'g'))) AS t
   FROM documents),
 ex AS (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 4, 0))) AS i
-       FROM nt)
-SELECT doc_id, count(DISTINCT substring(t, i, 5)) AS n_shingles
-FROM ex GROUP BY doc_id
+       FROM nt),
+sc AS (SELECT doc_id, count(DISTINCT substring(t, i, 5)) AS n_shingles
+       FROM ex GROUP BY doc_id)
+SELECT d.doc_id, coalesce(sc.n_shingles, 0) AS n_shingles
+FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 

@@ -20,7 +20,14 @@ from pyspark.sql import DataFrame, functions as F
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to
-    min(N(u) ∪ {u})."""
+    min(N(u) ∪ {u}).
+
+    Emits duplicates (no ``distinct``, r5): every downstream consumer is
+    either a ``groupBy().min()`` (duplicate-blind) or the next star round's
+    join (duplicates multiply bytes, never results), and the end-of-cycle
+    ``_small_star(dedup=True)`` restores the canonical set before the
+    checksum. Dropping the dedup here removes one full shuffle per round from
+    the measured corpus-size-independent clusters floor (VERDICT r4 #3/#5)."""
     em = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = em.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("mn", "u").alias("m"))
@@ -28,13 +35,17 @@ def _large_star(edges: DataFrame) -> DataFrame:
         em.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
     """Orient edges (u = max endpoint, v = min); connect each small neighbor
-    and u itself to the group min."""
+    and u itself to the group min.
+
+    ``dedup=False`` on intermediate rounds (duplicate edges are semantically
+    inert in the star algebra — see ``_large_star``); the last round of each
+    checkpoint cycle keeps ``dedup=True`` so the convergence checksum
+    (count + hash-xor) sees the canonical edge set."""
     e2 = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).filter(F.col("u") != F.col("v"))
@@ -44,9 +55,8 @@ def _small_star(edges: DataFrame) -> DataFrame:
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .unionByName(mins.select("u", F.col("m").alias("v")))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
-    return out
+    return out.distinct() if dedup else out
 
 
 def _checksum(edges: DataFrame) -> "tuple[int, int]":
@@ -90,9 +100,12 @@ def connected_components(
     converged = False
     rounds = 0
     while rounds < max_iters:
-        for _ in range(2):
-            e = _small_star(_large_star(e))
-            rounds += 1
+        # fused cycle (r5): only the LAST small-star of the cycle dedups —
+        # 4 distinct-shuffles per cycle become 1, cutting the per-cycle
+        # shuffle-stage count that dominates the clusters floor at scale
+        e = _small_star(_large_star(e), dedup=False)
+        e = _small_star(_large_star(e), dedup=True)
+        rounds += 2
         e = e.localCheckpoint(eager=False)
         cur = _checksum(e)
         if cur == prev:

@@ -24,6 +24,7 @@ Skew rows come in two flavors (SURVEY.md §4.3.2 test design):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -271,7 +272,29 @@ def synthesize_clips(spark, params: SynthParams, out_dir: "str | None" = None):
     clips = full.drop("cluster_id", "role")
     oracle = full.select("clip_id", "cluster_id", "role")
     if out_dir:
-        full.write.mode("overwrite").parquet(f"{out_dir}/clips_full")
+        # idempotent per (params, SYNTH_VERSION): a manifest-matched corpus is
+        # reused, NOT rewritten. A rewrite would mint new part-file names,
+        # which changes the pipeline's resume input_key and silently
+        # invalidates every checkpointed stage — the r5 entry() double-run
+        # probe caught exactly that (second call recomputed all stages and
+        # deleted the first result's files out from under it).
+        import dataclasses as _dc
+        import json as _json
+
+        mpath = f"{out_dir}/_synth_manifest.json"
+        want = {"version": SYNTH_VERSION, "params": _dc.asdict(params)}
+        have = None
+        if os.path.exists(mpath):
+            try:
+                with open(mpath) as f:
+                    have = _json.load(f)
+            except (OSError, ValueError):
+                have = None
+        if have != want:
+            full.write.mode("overwrite").parquet(f"{out_dir}/clips_full")
+            os.makedirs(out_dir, exist_ok=True)
+            with open(mpath, "w") as f:
+                _json.dump(want, f)
         full_r = spark.read.parquet(f"{out_dir}/clips_full")
         clips = full_r.drop("cluster_id", "role")
         oracle = full_r.select("clip_id", "cluster_id", "role")
