@@ -315,10 +315,18 @@ def _one_scaling_run(sf_dir: str, n_exec: "int | None", cores: int,
 
 
 def _synthesize_shared_corpus(sf_dir: str, n_clips: int) -> str:
-    """One corpus for the whole study, synthesized once at high parallelism."""
+    """One corpus for the whole study, synthesized once at high parallelism.
+
+    Written to REAL DISK (default tmpdir), not tmpfs: a tmpfs-resident corpus
+    plus shuffle scratch plus per-worker broadcast copies pushed total
+    resident past this host's ~60 GB reclaim-storm threshold at 500k clips
+    and poisoned every r4 measurement (BENCH/study_r4_500k_reclaim_storm.md).
+    Disk-backed input pages live in the page cache, which evicts cleanly
+    under pressure instead of fault-storming; only worker scratch stays on
+    /dev/shm."""
     from srpr_lsh_spark.sources.synth import SynthParams, synthesize_clips
 
-    data_dir = tempfile.mkdtemp(prefix="srpr_scaling_data_", dir=_scratch_dir())
+    data_dir = tempfile.mkdtemp(prefix="srpr_scaling_data_")
     spark = _session(16, 64)
     spark.sparkContext.setLogLevel("ERROR")
     try:

@@ -81,8 +81,22 @@ class DedupConfig:
     containment_min_matches: int = 3  # sketch-hash matches needed to form a candidate
     min_substr_shingles: int = 8     # ignore ultra-short transcripts for containment
     # --- skew handling (SURVEY.md §4.3.2) ---
-    bucket_pair_cap: int = 64   # buckets larger than this use star-pairing, not all-pairs
+    # buckets larger than this use two-anchor star pairing, not all-pairs.
+    # Recall trade (measured, tests/test_components.py::
+    # TestOverCapDisjointFamilies): a single over-cap bucket holding k
+    # DISJOINT distinct-signature families recovers only the two anchor
+    # families from that band — floor 2/k — so per-band recall of capped
+    # buckets is probabilistic; cross-band/table redundancy (L chances) and
+    # the full-signature collapse carry the rest. Raising the cap buys
+    # recall at O(bucket²) cost; at 10¹² clips keep it low and rely on L.
+    bucket_pair_cap: int = 64
     hot_shingle_cap: int = 128  # drop bottom-k sketch hashes shared by more rows than this
+    # signatures-stage chunking for partition-granularity resume (>1 splits
+    # the input FILE LIST into this many groups, each written + manifested
+    # independently — a failed run resumes re-reading only incomplete
+    # chunks' files). Requires clips to be an unfiltered file scan; 1 = the
+    # single-snapshot stage (default). Layout-only: same rows either way.
+    signatures_chunks: int = 1
     # --- determinism ---
     seed: int = 42              # reference seed discipline: lsh.h:80, MatrixFactorization.h:44
     # --- layout ---
@@ -111,6 +125,7 @@ class DedupConfig:
         "input_split_bytes",
         "fp_collect_max_rows",  # picks the phase-1 plan, never the result
         "verify_small_join_max_pairs",  # ditto
+        "signatures_chunks",  # chunk layout, identical rows
         "extra",
     )
 

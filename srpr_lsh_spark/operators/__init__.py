@@ -11,6 +11,7 @@ from srpr_lsh_spark.operators.banding import (
     candidate_pairs,
     exact_content_edges,
     explode_bands,
+    combined_candidates,
     space_candidates,
 )
 from srpr_lsh_spark.operators.verify import verify_text_pairs, verify_audio_pairs
@@ -19,6 +20,7 @@ from srpr_lsh_spark.operators.components import connected_components
 
 __all__ = [
     "candidate_pairs",
+    "combined_candidates",
     "space_candidates",
     "compute_signatures",
     "connected_components",

@@ -114,6 +114,14 @@ def space_candidates(signatures: DataFrame, cfg: DedupConfig, source: str) -> Da
     All emitted edges (star and bucket) still pass exact verification, so
     this changes cost, never correctness of the final clusters.
     """
+    within, bands = _space_parts(signatures, cfg, source)
+    return candidate_pairs(bands, cfg).unionByName(within)
+
+
+def _space_parts(signatures: DataFrame, cfg: DedupConfig, source: str):
+    """(within-collapse star edges, banded rep rows) for one LSH space —
+    the two halves ``space_candidates`` composes. Factored out so
+    ``combined_candidates`` can run ONE bucket-join pass over both spaces."""
     if source == SOURCE_MINHASH:
         eligible = signatures.filter(F.col("n_shingles") > 0)
         sig_hash = F.xxhash64("minhash")
@@ -143,7 +151,25 @@ def space_candidates(signatures: DataFrame, cfg: DedupConfig, source: str) -> Da
         reps.select(F.col("rep").alias("clip_id")), "clip_id", "left_semi"
     )
     bands = explode_cols(rep_rows).withColumn("source", F.lit(source))
-    return candidate_pairs(bands, cfg).unionByName(within)
+    return within, bands
+
+
+def combined_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Both LSH spaces through ONE bucket-join pass (r5 stage-count cut).
+
+    Row-identical to ``space_candidates(MINHASH) ∪ space_candidates(SIMHASH)``
+    (pytest-pinned): the band-id key spaces are disjoint ([0, bands) vs
+    10_000+table), so buckets never mix across spaces and per-space bucket
+    sizes are unchanged; ``source`` rides along and ``dropDuplicates``
+    includes it, so no cross-space dedup happens either. The win is plan
+    shape, not rows — one sizes groupBy, one tagged join, one pair
+    deduplication instead of two of each, roughly halving the candidates
+    stage's shuffle-stage count, which is the corpus-size-independent
+    scheduling floor the scaling studies keep measuring (VERDICT r4 #1)."""
+    mh_within, mh_bands = _space_parts(signatures, cfg, SOURCE_MINHASH)
+    sh_within, sh_bands = _space_parts(signatures, cfg, SOURCE_SIMHASH)
+    pairs = candidate_pairs(mh_bands.unionByName(sh_bands), cfg)
+    return pairs.unionByName(mh_within).unionByName(sh_within)
 
 
 def exact_content_edges(signatures: DataFrame) -> DataFrame:

@@ -99,6 +99,11 @@ class Warehouse:
 
     # -- io ----------------------------------------------------------------
     def read(self, stage: str) -> DataFrame:
+        m = self.manifest(stage)
+        if m and m.get("chunks"):
+            return self.spark.read.parquet(
+                *[self._chunk_dir(stage, i) for i in range(m["chunks"])]
+            )
         return self.spark.read.parquet(self._dir(stage))
 
     def write(self, stage: str, df: DataFrame, rows_in: "int | None" = None) -> DataFrame:
@@ -136,7 +141,10 @@ class Warehouse:
             )
         return out
 
-    def _record_lineage(self, stage: str, ms: int, rows_in: "int | None") -> int:
+    def _record_lineage(
+        self, stage: str, ms: int, rows_in: "int | None",
+        data_dir: "str | None" = None,
+    ) -> int:
         # per-partition row counts come from the parquet footers (metadata
         # only — no second scan), and the lineage rows are appended with a
         # plain pyarrow write on the driver — no Spark job. With an Iceberg
@@ -146,7 +154,7 @@ class Warehouse:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        files = sorted(glob.glob(os.path.join(self._dir(stage), "part-*")))
+        files = sorted(glob.glob(os.path.join(data_dir or self._dir(stage), "part-*")))
         counts = [pq.ParquetFile(f).metadata.num_rows for f in files]
         n = len(files)
         tbl = pa.table(
@@ -164,11 +172,105 @@ class Warehouse:
         )
         lin_dir = os.path.join(self.root, "lineage")
         os.makedirs(lin_dir, exist_ok=True)
-        pq.write_table(tbl, os.path.join(lin_dir, f"part-{self.run_id}-{stage}.parquet"))
+        pq.write_table(tbl, os.path.join(
+            lin_dir, f"part-{self.run_id}-{stage.replace('/', '_')}.parquet"
+        ))
         return sum(counts)
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "lineage"))
+
+    # -- chunked stage (partition-granularity resume) -----------------------
+    def _chunk_dir(self, stage: str, i: int) -> str:
+        # 'chunk-i', not 'chunk=i': an '=' would make Spark infer a partition
+        # column on read and change the stage schema
+        return os.path.join(self._dir(stage), f"chunk-{i:05d}")
+
+    def _chunk_manifest_path(self, stage: str, i: int) -> str:
+        return os.path.join(self.root, f"{stage}.chunk-{i:05d}._manifest.json")
+
+    def _chunk_complete(self, stage: str, i: int, chunk_key: str) -> bool:
+        p = self._chunk_manifest_path(stage, i)
+        if not os.path.exists(p):
+            return False
+        with open(p) as f:
+            m = json.load(f)
+        return bool(
+            m.get("config_hash") == self.config_hash
+            and m.get("chunk_key") == chunk_key
+            and m.get("status") == "complete"
+            and os.path.isdir(self._chunk_dir(stage, i))
+        )
+
+    def stage_chunked(self, name: str, chunks) -> "tuple[DataFrame, list[int]]":
+        """Partition-granularity compute-or-load (SURVEY §4.3.5; the
+        signatures stage is the expensive scan this exists for).
+
+        ``chunks`` is a list of ``(chunk_key, build)`` — one independent unit
+        of the stage input (in the pipeline: one group of input FILES, so a
+        resumed run re-reads only the files of incomplete chunks; with an
+        Iceberg catalog the unit would be a data-file/partition set from the
+        snapshot). Each chunk writes atomically (temp dir + rename, chunk
+        manifest LAST, keyed by config hash + chunk_key); the parent stage
+        manifest is written only after every chunk is complete. A crash
+        mid-stage therefore leaves complete chunks skippable and at most one
+        torn chunk dir with no manifest, which recomputes.
+
+        Returns ``(df, skipped_chunk_indices)``.
+        """
+        if self.resume and self.is_complete(name):
+            return self.read(name), list(range(len(chunks)))
+        skipped: list[int] = []
+        total_ms = 0
+        for i, (ckey, build) in enumerate(chunks):
+            if self.resume and self._chunk_complete(name, i, ckey):
+                skipped.append(i)
+                continue
+            t0 = time.time()
+            cdir = self._chunk_dir(name, i)
+            tmp = cdir + ".tmp-" + self.run_id
+            build().write.mode("overwrite").parquet(tmp)
+            cmp_ = self._chunk_manifest_path(name, i)
+            if os.path.exists(cmp_):
+                os.remove(cmp_)
+            if os.path.exists(cdir):
+                shutil.rmtree(cdir)
+            os.rename(tmp, cdir)
+            ms = int((time.time() - t0) * 1000)
+            total_ms += ms
+            n_rows = self._record_lineage(f"{name}/chunk-{i:05d}", ms, None,
+                                          data_dir=cdir)
+            with open(cmp_, "w") as f:
+                json.dump(
+                    {
+                        "stage": name, "chunk": i, "chunk_key": ckey,
+                        "status": "complete", "config_hash": self.config_hash,
+                        "rows": n_rows, "run_id": self.run_id, "ms": ms,
+                        "written_at": time.time(),
+                    },
+                    f, indent=2,
+                )
+        # parent manifest LAST — "complete" only when every chunk is
+        mp = self._manifest_path(name)
+        out = self.spark.read.parquet(
+            *[self._chunk_dir(name, i) for i in range(len(chunks))]
+        )
+        rows = 0
+        for i in range(len(chunks)):
+            with open(self._chunk_manifest_path(name, i)) as f:
+                rows += json.load(f)["rows"]
+        with open(mp, "w") as f:
+            json.dump(
+                {
+                    "stage": name, "status": "complete", "chunks": len(chunks),
+                    "config_hash": self.config_hash, "input_key": self.input_key,
+                    "rows": rows, "schema": out.schema.jsonValue(),
+                    "run_id": self.run_id, "written_at": time.time(),
+                    "ms": total_ms,
+                },
+                f, indent=2,
+            )
+        return out, skipped
 
     # -- stage driver --------------------------------------------------------
     def stage(self, name: str, build, rows_in: "int | None" = None) -> "tuple[DataFrame, bool]":

@@ -24,8 +24,8 @@ from srpr_lsh_spark.config import DedupConfig
 from srpr_lsh_spark.operators.banding import (
     SOURCE_MINHASH,
     SOURCE_SIMHASH,
+    combined_candidates,
     exact_content_edges,
-    space_candidates,
 )
 from srpr_lsh_spark.operators.components import connected_components
 from srpr_lsh_spark.operators.signatures import compute_signatures
@@ -79,10 +79,44 @@ def run_dedup(
     def build_signatures() -> DataFrame:
         return compute_signatures(clips, cfg)
 
+    def _signature_chunks() -> "list | None":
+        """(chunk_key, build) units for partition-granularity resume: each
+        chunk re-reads ONE group of the input's parquet files (so a resumed
+        run scans only incomplete chunks' files — with Iceberg these would be
+        the snapshot's data-file groups). Only valid when clips is a pure
+        file scan; projection is re-applied, filters would be lost, so any
+        non-file-backed or transformed input falls back to the single-snapshot
+        stage."""
+        if cfg.signatures_chunks <= 1:
+            return None
+        files = sorted(clips.inputFiles())
+        if len(files) < cfg.signatures_chunks:
+            return None
+        import hashlib as _h
+
+        groups = [files[i::cfg.signatures_chunks] for i in range(cfg.signatures_chunks)]
+        cols = clips.columns
+
+        def mk(g):
+            return lambda: compute_signatures(
+                spark.read.parquet(*g).select(*cols), cfg
+            )
+
+        return [
+            (_h.sha256("\n".join(g).encode()).hexdigest()[:16], mk(g))
+            for g in groups
+        ]
+
     old_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(cfg.input_split_bytes))
     try:
-        sigs, sk = wh.stage("signatures", build_signatures)
+        chunks = _signature_chunks()
+        if chunks is not None:
+            sigs, skipped_chunks = wh.stage_chunked("signatures", chunks)
+            sk = len(skipped_chunks) == len(chunks)
+            out["signature_chunks_skipped"] = skipped_chunks
+        else:
+            sigs, sk = wh.stage("signatures", build_signatures)
     finally:
         if old_split is not None:
             spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
@@ -92,12 +126,13 @@ def run_dedup(
         return out
 
     def build_candidates() -> DataFrame:
-        mh = space_candidates(sigs, cfg, SOURCE_MINHASH)
-        sh = space_candidates(sigs, cfg, SOURCE_SIMHASH)
+        # both LSH spaces in ONE bucket-join pass (row-identical to the
+        # per-space union, pytest-pinned; halves the stage's shuffle count)
+        lsh = combined_candidates(sigs, cfg)
         sub = containment_candidates(clips, sigs, cfg).select(
             F.col("short").alias("a"), F.col("long").alias("b"), F.lit("substr").alias("source")
         )
-        return mh.unionByName(sh).unionByName(sub)
+        return lsh.unionByName(sub)
 
     cands, sk = wh.stage("candidates", build_candidates)
     note("candidates", sk)

@@ -230,3 +230,86 @@ def test_phase1_join_fallback_matches_broadcast_plan(spark, tmp_path):
     assert len(got_bcast) > 0
     # plan knob must not invalidate checkpoints (layout field, not semantics)
     assert cfg.config_hash() == cfg_join.config_hash()
+
+
+def test_chunked_signatures_partition_resume(spark, tmp_path):
+    """Partition-granularity resume for the expensive scan (SURVEY §4.3.5 /
+    VERDICT r4 #7): with signatures_chunks=4, each chunk of the input FILE
+    LIST writes + manifests independently. Simulate a crash that lost one
+    chunk (its manifest + data deleted, parent manifest absent): the rerun
+    must recompute ONLY that chunk — the other three keep their run_ids —
+    and the final signatures must equal the single-snapshot stage's rows."""
+    import dataclasses
+    import shutil
+
+    params = SynthParams(n_clips=400, block_size=50, seed=44,
+                         min_dur_ms=300, max_dur_ms=800)
+    clips, _ = synthesize_clips(spark, params, out_dir=str(tmp_path / "d"))
+    assert len(clips.inputFiles()) >= 4, "fixture needs >=4 input files"
+    cfg = dataclasses.replace(CFG, signatures_chunks=4)
+    wdir = str(tmp_path / "wh")
+
+    res = run_dedup(spark, clips, cfg, warehouse_dir=wdir, stop_after="signatures")
+    assert res["signature_chunks_skipped"] == []
+    sig_rows = sorted(
+        (r["clip_id"], r["content_key"]) for r in
+        res["signatures"].select("clip_id", "content_key").collect()
+    )
+
+    # single-snapshot parity: chunking is layout-only
+    res_plain = run_dedup(spark, clips, CFG, warehouse_dir=str(tmp_path / "wh2"),
+                          stop_after="signatures")
+    plain_rows = sorted(
+        (r["clip_id"], r["content_key"]) for r in
+        res_plain["signatures"].select("clip_id", "content_key").collect()
+    )
+    assert sig_rows == plain_rows
+
+    # simulate the crash: chunk 2 torn away, parent manifest gone
+    os.remove(os.path.join(wdir, "signatures.chunk-00002._manifest.json"))
+    shutil.rmtree(os.path.join(wdir, "signatures", "chunk-00002"))
+    os.remove(os.path.join(wdir, "signatures._manifest.json"))
+    before = {
+        i: json.load(open(os.path.join(
+            wdir, f"signatures.chunk-{i:05d}._manifest.json")))["run_id"]
+        for i in (0, 1, 3)
+    }
+
+    res2 = run_dedup(spark, clips, cfg, warehouse_dir=wdir, stop_after="signatures")
+    assert sorted(res2["signature_chunks_skipped"]) == [0, 1, 3]
+    after = {
+        i: json.load(open(os.path.join(
+            wdir, f"signatures.chunk-{i:05d}._manifest.json")))["run_id"]
+        for i in (0, 1, 3)
+    }
+    assert before == after  # untouched on disk
+    sig_rows2 = sorted(
+        (r["clip_id"], r["content_key"]) for r in
+        res2["signatures"].select("clip_id", "content_key").collect()
+    )
+    assert sig_rows2 == sig_rows
+
+    # and a fully-complete chunked stage skips wholesale on the next run
+    res3 = run_dedup(spark, clips, cfg, warehouse_dir=wdir, stop_after="signatures")
+    assert sorted(res3["signature_chunks_skipped"]) == [0, 1, 2, 3]
+    assert "signatures" in res3["skipped"]
+
+
+def test_combined_candidates_row_identical_to_per_space(spark, tmp_path):
+    """The r5 one-pass bucket join over both LSH spaces must emit EXACTLY the
+    rows of the per-space union (the band-id key spaces are disjoint)."""
+    from srpr_lsh_spark.operators.banding import (
+        SOURCE_MINHASH, SOURCE_SIMHASH, combined_candidates, space_candidates,
+    )
+    from srpr_lsh_spark.operators.signatures import compute_signatures
+
+    params = SynthParams(n_clips=300, block_size=100, seed=46,
+                         min_dur_ms=300, max_dur_ms=900)
+    clips, _ = synthesize_clips(spark, params, out_dir=str(tmp_path / "d"))
+    sigs = compute_signatures(clips, CFG).localCheckpoint(eager=True)
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    want = rows(
+        space_candidates(sigs, CFG, SOURCE_MINHASH).unionByName(
+            space_candidates(sigs, CFG, SOURCE_SIMHASH))
+    )
+    assert rows(combined_candidates(sigs, CFG)) == want
