@@ -59,12 +59,34 @@ def _small_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
     return out.distinct() if dedup else out
 
 
-def _checksum(edges: DataFrame) -> "tuple[int, int]":
-    row = edges.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+def _is_star_fixpoint(edges: DataFrame) -> bool:
+    """True iff ``edges`` is a fixpoint of the star alternation — detected
+    STRUCTURALLY, not by comparing consecutive iterations (r5).
+
+    A deduped, small-star-oriented edge set (every row has u > v) is a
+    fixpoint exactly when (a) every u carries exactly one edge and (b) no
+    node appears both as a u (member) and a v (center): that makes it a
+    forest of depth-1 stars whose center is the component min, and both
+    ``_large_star`` and ``_small_star`` map such a set to itself. The
+    checksum-comparison scheme this replaces could only detect convergence
+    one full cycle LATE (the fixpoint had to reproduce itself to be seen),
+    so star-shaped edge sets — the common case for dedup graphs, which are
+    mostly collapse/exact-dup stars already — paid 2 cycles where 1
+    suffices. Cost: one shuffle over 2|E| endpoint rows per cycle, replacing
+    the checksum aggregate; the groupBy's map side still computes every
+    partition of ``edges``, so it keeps materializing the lazy checkpoint
+    exactly as the checksum did."""
+    ends = edges.select(
+        F.col("u").alias("n"), F.lit(1).alias("au"), F.lit(0).alias("av")
+    ).unionByName(
+        edges.select(F.col("v").alias("n"), F.lit(0).alias("au"), F.lit(1).alias("av"))
+    )
+    bad = (
+        ends.groupBy("n")
+        .agg(F.sum("au").alias("au"), F.sum("av").alias("av"))
+        .filter((F.col("au") > 1) | ((F.col("au") > 0) & (F.col("av") > 0)))
+    )
+    return bad.isEmpty()
 
 
 def connected_components(
@@ -86,17 +108,16 @@ def connected_components(
     if e.isEmpty():
         return nodes.select("clip_id", F.col("clip_id").alias("cluster_id"))
 
-    # two star alternations per checkpoint+checksum: convergence is a fixed
-    # point, so comparing checksums two rounds apart still detects it exactly —
-    # at the cost of at most one redundant (cheap, already-converged) round —
-    # while halving the serial driver actions per round (the dominant term in
-    # the measured parallelism-independent floor; see NOTES.md round 1).
-    # The checkpoint is LAZY (eager=False): the checksum aggregate is the
-    # cycle's ONLY action — it computes every partition of ``e``, which
-    # materializes the checkpoint blocks as a side effect, so each cycle costs
-    # one Spark job instead of two (materialize + checksum). Measured as part
-    # of the ~10 s corpus-size-independent clusters floor (VERDICT r3 #3).
-    prev = None
+    # two star alternations per checkpoint + one fixpoint probe: the probe is
+    # the cycle's ONLY action — its shuffle map side computes every partition
+    # of ``e``, which materializes the LAZY (eager=False) checkpoint blocks as
+    # a side effect, so each cycle costs one Spark job instead of two
+    # (materialize + check). Detection is structural (``_is_star_fixpoint``),
+    # so the first cycle that PRODUCES the converged star forest also detects
+    # it — the prior checksum-comparison scheme needed one further full cycle
+    # to see the fixpoint reproduce itself, a pure floor cost at scale
+    # (VERDICT r3 #3 / r4 #3: the clusters stage's ~10 s corpus-size-
+    # independent floor is cycles × per-cycle stage scheduling).
     converged = False
     rounds = 0
     while rounds < max_iters:
@@ -107,11 +128,9 @@ def connected_components(
         e = _small_star(_large_star(e), dedup=True)
         rounds += 2
         e = e.localCheckpoint(eager=False)
-        cur = _checksum(e)
-        if cur == prev:
+        if _is_star_fixpoint(e):
             converged = True
             break
-        prev = cur
     if not converged:
         raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
 
