@@ -60,6 +60,36 @@ def _scratch_dir() -> str:
     return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 
+def _proc_group_cpu() -> "float | None":
+    """CPU-seconds (utime+stime) of every LIVE process in this process group
+    — the bench python driver, the py4j-launched JVM, and its python workers
+    all share the pgid. This is the measurement the scaling report's CPU
+    column makes its stall-vs-work argument with; RUSAGE_CHILDREN can NOT
+    provide it (the JVM is a grandchild the sub-run never waits on, so its
+    rusage never rolls up — the r5-200k study's CPU column measured only the
+    python driver). Caveat: CPU of processes that exited between two samples
+    is not seen; the JVM and (reused) python workers live across the dedup
+    window this brackets, so the delta is a floor within a few percent."""
+    try:
+        pgid = os.getpgid(0)
+        hz = os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError):
+        return None
+    total_ticks = 0
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                rest = f.read().rsplit(") ", 1)[1].split()
+            # after ') ': [0]=state [1]=ppid [2]=pgrp ... [11]=utime [12]=stime
+            if int(rest[2]) == pgid:
+                total_ticks += int(rest[11]) + int(rest[12])
+        except (OSError, IndexError, ValueError):
+            continue  # raced with process exit
+    return total_ticks / hz
+
+
 def _session(cpus: int, shuffle_partitions: "int | None" = None,
              executors: "int | None" = None, exec_mem_mb: int = 8192):
     """local[cpus] session, or — when ``executors`` is set — a process-isolated
@@ -224,6 +254,7 @@ def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
         # varies multi-× between identical runs minutes apart (VARIANCE.md),
         # so cross-round deltas need their own spread (VERDICT r3 #7)
         runs: list[dict] = []
+        cpu0 = _proc_group_cpu()
         for rep in range(max(1, bench_reps)):
             t0 = time.time()
             res = run_dedup(spark, clips, cfg,
@@ -236,6 +267,11 @@ def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
                 "n_clusters": n_clusters,
                 "res": res,
             })
+        cpu1 = _proc_group_cpu()
+        if cpu0 is not None and cpu1 is not None:
+            # dedup-window CPU of the whole live process group (JVM + python
+            # workers + driver), averaged per rep so it pairs with dedup_sec
+            out["cpu_sec"] = round((cpu1 - cpu0) / max(1, bench_reps), 1)
         best = min(runs, key=lambda r: r["dedup_sec"])
         secs = sorted(r["dedup_sec"] for r in runs)
         out["dedup_sec"] = best["dedup_sec"]
@@ -287,12 +323,12 @@ def _one_scaling_run(sf_dir: str, n_exec: "int | None", cores: int,
     ]
     if n_exec is not None:
         cmd += ["--executors", str(n_exec)]
-    # RUSAGE_CHILDREN delta around the (serial) sub-run: the child's rusage —
-    # including the JVM and python workers it reaped — accrues to this process
-    # when the child exits, giving CPU-seconds alongside wall time. That's the
-    # evidence that separates "less parallel speedup because the work
-    # serialized" from "because the socket ran out of memory bandwidth":
-    # equal CPU at both levels + longer wall = stall time (VERDICT r4 #1).
+    # CPU-seconds alongside wall time: the evidence that separates "less
+    # parallel speedup because the work serialized" from "because the socket
+    # ran out of memory bandwidth" — equal CPU at both levels + longer wall
+    # = stall time (VERDICT r4 #1). The sub-run measures its own process
+    # group via /proc (see _proc_group_cpu); the RUSAGE_CHILDREN delta here
+    # is only a /proc-less fallback (it misses the JVM grandchild entirely).
     import resource
 
     ru0 = resource.getrusage(resource.RUSAGE_CHILDREN)
@@ -308,9 +344,14 @@ def _one_scaling_run(sf_dir: str, n_exec: "int | None", cores: int,
         if l.startswith("{") and '"metric"' in l
     ][-1]
     out = json.loads(line)
-    out["cpu_sec"] = round(
-        (ru1.ru_utime + ru1.ru_stime) - (ru0.ru_utime + ru0.ru_stime), 1
-    )
+    # the sub-run's own /proc process-group measurement (JVM + workers) is
+    # authoritative; the RUSAGE_CHILDREN delta only sees the python child
+    # (the JVM is a grandchild that is never waited on) and remains as a
+    # fallback for hosts without /proc
+    if out.get("cpu_sec") is None:
+        out["cpu_sec"] = round(
+            (ru1.ru_utime + ru1.ru_stime) - (ru0.ru_utime + ru0.ru_stime), 1
+        )
     return out
 
 
@@ -397,9 +438,10 @@ def _shape_section(s: dict) -> "list[str]":
         f"| {n_hi} | `{lvl(n_hi)}` | {s['t_hi']} | "
         f"{s['best'][n_hi]['clips_per_sec']} | {cpu(n_hi)} |",
         "",
-        "(CPU column = RUSAGE_CHILDREN of the whole sub-run process tree, "
-        "synthesis-read + dedup + session setup; equal CPU at both levels "
-        "with sub-linear wall speedup = stall/bandwidth, not extra work.)",
+        "(CPU column = /proc process-group CPU-seconds across the dedup "
+        "window, per rep: JVM + python workers + driver of the sub-run; "
+        "equal CPU at both levels with sub-linear wall speedup = "
+        "stall/bandwidth, not extra work.)",
         "",
         f"**Scaling efficiency (T_{n_lo}exec / T_{n_hi}exec) / "
         f"{s['ratio']:.0f} = {s['eff']:.3f}** (target ≥ 0.8); measured Amdahl "
@@ -621,6 +663,7 @@ def main() -> None:
         "synth_sec": r["synth_sec"],
         "n_clusters": r["n_clusters"],
         "stage_secs": r.get("stage_secs", {}),
+        "cpu_sec": r.get("cpu_sec"),
         "reps": r.get("reps"),
         "dedup_sec_median": r.get("dedup_sec_median"),
         "dedup_runs_sec": r.get("dedup_runs_sec"),
