@@ -364,10 +364,28 @@ def _synthesize_shared_corpus(sf_dir: str, n_clips: int) -> str:
     and poisoned every r4 measurement (BENCH/study_r4_500k_reclaim_storm.md).
     Disk-backed input pages live in the page cache, which evicts cleanly
     under pressure instead of fault-storming; only worker scratch stays on
-    /dev/shm."""
+    /dev/shm.
+
+    Runs in a SUBPROCESS: ``SparkContext.stop()`` does not terminate the py4j
+    gateway JVM — it lives (with its full retained heap) until the owning
+    python process exits. The r5 400k study measured that leak at 12.4 GB RSS
+    squatting through every sub-run. A subprocess takes the JVM with it."""
+    data_dir = tempfile.mkdtemp(prefix="srpr_scaling_data_")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--synth-only",
+         "--n-clips", str(n_clips), "--data-dir", data_dir],
+        capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError("corpus synthesis subprocess failed; stderr tail above")
+    return data_dir
+
+
+def _synth_only(n_clips: int, data_dir: str) -> None:
+    """Subprocess body for ``_synthesize_shared_corpus``."""
     from srpr_lsh_spark.sources.synth import SynthParams, synthesize_clips
 
-    data_dir = tempfile.mkdtemp(prefix="srpr_scaling_data_")
     spark = _session(16, 64)
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -376,7 +394,6 @@ def _synthesize_shared_corpus(sf_dir: str, n_clips: int) -> str:
         synthesize_clips(spark, params, out_dir=data_dir)
     finally:
         spark.stop()
-    return data_dir
 
 
 STAGE_ORDER = ("signatures", "candidates", "verified_pairs", "clusters")
@@ -464,7 +481,8 @@ def _shape_section(s: dict) -> "list[str]":
 
 def run_scaling(sf_dir: str, n_clips: int = 20000, n_lo: int = 1, n_hi: int = 4,
                 cores: "int | None" = None, reps: int = 3,
-                out_path: str = "BENCH/BASELINE.md") -> None:
+                out_path: str = "BENCH/BASELINE.md",
+                studies: str = "TBP") -> None:
     """The north_rule's N → 4N scaling criterion on ONE shared corpus, two
     studies in one machine-written report:
 
@@ -502,13 +520,15 @@ def run_scaling(sf_dir: str, n_clips: int = 20000, n_lo: int = 1, n_hi: int = 4,
     # shuffle, identical outputs); on THIS host its 4-executor level
     # pays a measured kernel tax no real cluster pays, so it is
     # supporting evidence, not the headline.
-    shapes = (
-        dict(cores=cores or 2, reps=reps, mode="threads",
-             label="Study T (headline)"),
-        dict(cores=4, reps=max(1, reps - 1), mode="threads",
-             label="Study B (bandwidth stress)"),
-        dict(cores=cores or 4, reps=max(1, reps - 2), mode="process",
-             label="Study P (architecture)"),
+    shapes = tuple(
+        sh for sh in (
+            dict(cores=cores or 2, reps=reps, mode="threads",
+                 label="Study T (headline)"),
+            dict(cores=4, reps=max(1, reps - 1), mode="threads",
+                 label="Study B (bandwidth stress)"),
+            dict(cores=cores or 4, reps=max(1, reps - 2), mode="process",
+                 label="Study P (architecture)"),
+        ) if sh["label"].split(" ", 2)[1][0] in studies.upper()
     )
     try:
         for sh in shapes:
@@ -639,11 +659,25 @@ def main() -> None:
                          "'shape'); default runs BOTH the 2-core headline "
                          "and 4-core stress shapes")
     ap.add_argument("--out", default="BENCH/BASELINE.md")
+    ap.add_argument("--synth-only", action="store_true",
+                    help="internal: synthesize the shared scaling corpus to "
+                         "--data-dir and exit (run as a subprocess so the "
+                         "gateway JVM's retained heap dies with it)")
+    ap.add_argument("--studies", default="TBP",
+                    help="scaling study shapes to run, by letter: T (2v8 "
+                         "thread headline), B (4v16 bandwidth stress), P "
+                         "(process-isolated executors). Default all three.")
     args = ap.parse_args()
+
+    if args.synth_only:
+        if not args.data_dir or args.n_clips is None:
+            raise SystemExit("--synth-only requires --data-dir and --n-clips")
+        _synth_only(args.n_clips, args.data_dir)
+        return
 
     if args.scaling:
         run_scaling(args.sf_dir, n_clips=args.n_clips or 20000, reps=args.reps,
-                    cores=args.cores, out_path=args.out)
+                    cores=args.cores, out_path=args.out, studies=args.studies)
         return
 
     r = bench_once(args.sf_dir, args.cpus, n_clips=args.n_clips,

@@ -69,6 +69,14 @@ class DedupConfig:
     # VERDICT r4 #2). Both plans are parity-tested equal.
     verify_small_join_max_pairs: int = 400_000
     snr_db_threshold: float = 30.0   # decoded-PCM pair SNR acceptance (input_hint)
+    # verify phase-3 decodes BOTH sides of each pair to float64 PCM; a full
+    # 2048-row Arrow batch holds ~1.5 GB of decode temps per worker (and the
+    # long-lived arena — tune_allocator_env — retains that high-water mark
+    # forever, which at 8-16 workers fed this host's reclaim storm in the r5
+    # 400k study). The UDF therefore re-chunks each incoming batch to this
+    # many rows: per-task memory stays bounded in CLIP SIZE, not row count —
+    # the property a 100 TB corpus with MB-scale clips needs anyway.
+    verify_decode_slice_rows: int = 192
     sketch_points: int = 512         # decimated-PCM sketch length (~1 ms stride)
     sketch_margin_db: float = 3.0    # sketch-SNR prefilter slack vs full check
     # --- substring (suffix-array) path ---
@@ -125,6 +133,7 @@ class DedupConfig:
         "input_split_bytes",
         "fp_collect_max_rows",  # picks the phase-1 plan, never the result
         "verify_small_join_max_pairs",  # ditto
+        "verify_decode_slice_rows",  # batch re-chunking, identical rows
         "signatures_chunks",  # chunk layout, identical rows
         "extra",
     )

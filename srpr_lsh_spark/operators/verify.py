@@ -300,6 +300,7 @@ def verify_audio_pairs(
     withb = _attach(_spread(survivors), blobs, {"bytes": "ba", "codec": "ca"}, "a")
     withb = _attach(withb, blobs, {"bytes": "bb", "codec": "cb"}, "b")
     snr_thr = cfg.snr_db_threshold
+    slice_rows = max(1, cfg.verify_decode_slice_rows)
 
     schema = StructType(
         [
@@ -313,24 +314,31 @@ def verify_audio_pairs(
 
     def gen(batches):
         empty = np.empty(0)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            # decode is per-row (one frombuffer per blob — no per-sample
-            # Python); the SNR math is one vectorized batch pass. Symmetric
-            # min keeps the pair relation order-independent.
-            pas, pbs = [], []
-            for ba, ca, bb, cb in zip(pdf["ba"], pdf["ca"], pdf["bb"], pdf["cb"]):
-                if ba is None or bb is None:
-                    pas.append(empty)
-                    pbs.append(empty)
+        for full in batches:
+            # Re-chunk the Arrow batch: both sides decode to float64 PCM, so
+            # a full 2048-row batch peaks at ~1.5 GB of temps per worker (and
+            # the worker's arena keeps that high-water forever —
+            # cfg.verify_decode_slice_rows rationale). Slicing bounds the
+            # peak without changing any output row.
+            for start in range(0, len(full), slice_rows):
+                pdf = full.iloc[start : start + slice_rows]
+                if not len(pdf):
                     continue
-                pas.append(decode_pcm16_wav(bytes(ba), codec=ca))
-                pbs.append(decode_pcm16_wav(bytes(bb), codec=cb))
-            snrs = batch_pair_snr_db(pas, pbs)
-            keep = snrs >= snr_thr
-            out = pdf.loc[keep, ["a", "b", "source", "cosine"]].copy()
-            out["snr_db"] = np.clip(snrs[keep], -1e9, 1e9)
-            yield out
+                # decode is per-row (one frombuffer per blob — no per-sample
+                # Python); the SNR math is one vectorized batch pass. Symmetric
+                # min keeps the pair relation order-independent.
+                pas, pbs = [], []
+                for ba, ca, bb, cb in zip(pdf["ba"], pdf["ca"], pdf["bb"], pdf["cb"]):
+                    if ba is None or bb is None:
+                        pas.append(empty)
+                        pbs.append(empty)
+                        continue
+                    pas.append(decode_pcm16_wav(bytes(ba), codec=ca))
+                    pbs.append(decode_pcm16_wav(bytes(bb), codec=cb))
+                snrs = batch_pair_snr_db(pas, pbs)
+                keep = snrs >= snr_thr
+                out = pdf.loc[keep, ["a", "b", "source", "cosine"]].copy()
+                out["snr_db"] = np.clip(snrs[keep], -1e9, 1e9)
+                yield out
 
     return withb.mapInPandas(gen, schema=schema)
