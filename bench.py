@@ -482,7 +482,7 @@ def _shape_section(s: dict) -> "list[str]":
 def run_scaling(sf_dir: str, n_clips: int = 20000, n_lo: int = 1, n_hi: int = 4,
                 cores: "int | None" = None, reps: int = 3,
                 out_path: str = "BENCH/BASELINE.md",
-                studies: str = "TBP") -> None:
+                which: str = "TBP") -> None:
     """The north_rule's N → 4N scaling criterion on ONE shared corpus, two
     studies in one machine-written report:
 
@@ -528,8 +528,11 @@ def run_scaling(sf_dir: str, n_clips: int = 20000, n_lo: int = 1, n_hi: int = 4,
                  label="Study B (bandwidth stress)"),
             dict(cores=cores or 4, reps=max(1, reps - 2), mode="process",
                  label="Study P (architecture)"),
-        ) if sh["label"].split(" ", 2)[1][0] in studies.upper()
+        ) if sh["label"].split(" ", 2)[1][0] in which.upper()
     )
+    if not shapes:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise SystemExit(f"--studies {which!r} selects no study shape")
     try:
         for sh in shapes:
             # a failing shape (e.g. the 1-executor level OOMing at a corpus
@@ -677,7 +680,7 @@ def main() -> None:
 
     if args.scaling:
         run_scaling(args.sf_dir, n_clips=args.n_clips or 20000, reps=args.reps,
-                    cores=args.cores, out_path=args.out, studies=args.studies)
+                    cores=args.cores, out_path=args.out, which=args.studies)
         return
 
     r = bench_once(args.sf_dir, args.cpus, n_clips=args.n_clips,
