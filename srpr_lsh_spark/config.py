@@ -61,6 +61,14 @@ class DedupConfig:
     # the join-based plan (the 10¹²-clip path: sort-merge on bucketed
     # signatures). 5M rows ≈ 0.9 GB payload at d=32 — a sane broadcast ceiling.
     fp_collect_max_rows: int = 5_000_000
+    # how the collected phase-1 lookup reaches workers. True (default): write
+    # .npy files, ship via sc.addFile, np.memmap in workers — ONE page-cache
+    # copy per node, no per-worker unpickle (the r5 fix for the
+    # process-isolated verify anti-scale: a Python broadcast is unpickled
+    # once PER WORKER PROCESS, GBs of duplicated RSS at 16 workers; see
+    # kernels/cosine.py::save_fp_lookup). False: classic Python broadcast.
+    # Result-identical either way (parity-tested).
+    fp_ship_files: bool = True
     # below this many TOTAL candidate rows (warehouse manifest count — driver
     # metadata, no job) the audio verify skips the broadcast ladder and runs
     # the plain JVM-join phase-1 plan: the ladder's fixed costs (collect,
@@ -132,6 +140,7 @@ class DedupConfig:
         "cc_max_iters",
         "input_split_bytes",
         "fp_collect_max_rows",  # picks the phase-1 plan, never the result
+        "fp_ship_files",  # lookup transport, never the result
         "verify_small_join_max_pairs",  # ditto
         "verify_decode_slice_rows",  # batch re-chunking, identical rows
         "signatures_chunks",  # chunk layout, identical rows

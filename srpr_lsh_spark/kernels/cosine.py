@@ -35,6 +35,10 @@ whole stage is the exact-cosine re-rank over LSH candidates
 
 from __future__ import annotations
 
+import os
+import tempfile
+import uuid
+
 import numpy as np
 import pandas as pd
 
@@ -52,6 +56,87 @@ def build_fp_lookup(ids, fps: np.ndarray) -> dict:
     fp = np.ascontiguousarray(fps, dtype=np.float32)
     q = np.clip(np.rint(fp * _QSCALE), -_QSCALE, _QSCALE).astype(np.int8)
     return {"index": idx, "fp": fp, "q": q}
+
+
+def save_fp_lookup(ids, fps: np.ndarray, out_dir: "str | None" = None):
+    """Driver-side: write the lookup as three ``.npy`` files for file-shipped
+    (``sc.addFile`` + worker ``np.memmap``) distribution.
+
+    Why files instead of a Python broadcast (the r5 process-shape fix):
+    PySpark *unpickles the broadcast payload once per Python worker process* —
+    at 16 workers × a multi-hundred-MB lookup that is GBs of duplicated RSS
+    and 16 serialized unpickle passes, and it measurably ANTI-scales in
+    process-isolated executor mode (NOTES.md r5: verify 196→274 s at 4
+    executors). A file shipped via ``addFile`` is fetched once per NODE and
+    memory-mapped by every worker on it: one page-cache copy, zero unpickle,
+    identical semantics on a real multi-executor cluster.
+
+    Rows are sorted by utf-8-encoded id so the worker-side probe is a
+    ``searchsorted`` on the memmapped fixed-width id array — no per-worker
+    index build at all. Returns ``(prefix, paths)``; pass each path to
+    ``sc.addFile`` and give workers ``prefix`` (they resolve via
+    ``SparkFiles.get``)."""
+    ids_list = [s if isinstance(s, str) else str(s) for s in np.asarray(ids, dtype=object)]
+    enc = [s.encode("utf-8") for s in ids_list]
+    w = max((len(b) for b in enc), default=1)
+    ids_s = np.array(enc, dtype=f"S{w}") if enc else np.empty(0, dtype=f"S{w}")
+    order = np.argsort(ids_s, kind="stable")
+    fp = np.ascontiguousarray(np.asarray(fps, dtype=np.float32)[order])
+    q = np.clip(np.rint(fp * _QSCALE), -_QSCALE, _QSCALE).astype(np.int8)
+    prefix = f"fplk_{uuid.uuid4().hex}"
+    out_dir = out_dir or tempfile.mkdtemp(prefix="fplk_")
+    paths = []
+    for name, arr in (("ids", ids_s[order]), ("fp", fp), ("q", q)):
+        p = os.path.join(out_dir, f"{prefix}_{name}.npy")
+        np.save(p, arr)
+        paths.append(p)
+    return prefix, paths
+
+
+# worker-side: one open memmap set per process, keyed by prefix. Kept to the
+# most recent lookup — stale entries would pin deleted files' disk blocks for
+# the worker's lifetime across bench reps / repeated serving runs.
+_MMAP_CACHE: dict = {}
+
+
+def load_fp_lookup_mmap(prefix: str, get_path) -> dict:
+    """Worker-side: open (or reuse) the memmapped lookup written by
+    ``save_fp_lookup``. ``get_path`` maps a shipped basename to a local path
+    (``pyspark.SparkFiles.get`` on executors; a plain ``os.path.join`` in
+    tests). The arrays are read-only memmaps: fancy-indexed gathers copy only
+    the probed rows into memory."""
+    lk = _MMAP_CACHE.get(prefix)
+    if lk is None:
+        lk = {
+            "ids_sorted": np.load(get_path(f"{prefix}_ids.npy"), mmap_mode="r"),
+            "fp": np.load(get_path(f"{prefix}_fp.npy"), mmap_mode="r"),
+            "q": np.load(get_path(f"{prefix}_q.npy"), mmap_mode="r"),
+        }
+        _MMAP_CACHE.clear()
+        _MMAP_CACHE[prefix] = lk
+    return lk
+
+
+def _indexer(lookup: dict, ids) -> np.ndarray:
+    """id → row positions (−1 = absent), for either lookup flavor: the
+    in-memory broadcast dict (pandas hash index) or the memmapped file form
+    (binary search over the sorted fixed-width id array)."""
+    if "index" in lookup:
+        return lookup["index"].get_indexer(ids)
+    srt = lookup["ids_sorted"]
+    n = len(srt)
+    if n == 0:
+        return np.full(len(ids), -1, dtype=np.int64)
+    w = srt.dtype.itemsize
+    enc = [s.encode("utf-8") if isinstance(s, str) else bytes(s) for s in ids]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
+    # dtype=S{w} TRUNCATES longer ids — which could falsely match a stored
+    # prefix — so over-width queries are forced to miss explicitly
+    qry = np.array(enc, dtype=f"S{w}") if enc else np.empty(0, dtype=f"S{w}")
+    pos = np.searchsorted(srt, qry)
+    posc = np.minimum(pos, n - 1)
+    hit = (srt[posc] == qry) & (lens <= w)
+    return np.where(hit, posc, -1)
 
 
 def quant_margin(dim: int) -> float:
@@ -81,9 +166,8 @@ def pair_cosines(
     count surviving the quantized pass — the candidate-mass-reduction
     diagnostic. Ids absent from the lookup (no signature row) are dropped,
     matching the previous inner-join semantics."""
-    idx = lookup["index"]
-    ia = idx.get_indexer(a_ids)
-    ib = idx.get_indexer(b_ids)
+    ia = _indexer(lookup, a_ids)
+    ib = _indexer(lookup, b_ids)
     valid = np.flatnonzero((ia >= 0) & (ib >= 0))
     ia, ib = ia[valid], ib[valid]
 

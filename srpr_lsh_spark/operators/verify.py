@@ -134,24 +134,73 @@ def _phase1_cosine_broadcast(
 ):
     """Phase-1 fingerprint cosine with ONE lookup build (the round-3 scaling
     fix): collect the slim ``(clip_id, fp)`` projection to the driver ONCE,
-    ship it as a single Python broadcast variable, and evaluate both the int8
-    prefilter and the exact float64 dot in a single ``mapInPandas`` over the
-    candidate frame — zero joins, zero per-branch BroadcastExchange builds.
-    Kernel + design rationale: ``kernels/cosine.py``.
+    ship it ONCE, and evaluate both the int8 prefilter and the exact float64
+    dot in a single ``mapInPandas`` over the candidate frame — zero joins,
+    zero per-branch BroadcastExchange builds. Kernel + design rationale:
+    ``kernels/cosine.py``.
+
+    Two ship mechanisms (``cfg.fp_ship_files``, result-identical):
+
+    - files (default): the lookup is written as ``.npy`` files, shipped via
+      ``sc.addFile``, and ``np.memmap``'d by workers — ONE page-cache copy
+      per node instead of one unpickled copy per worker process (the r5
+      process-executor anti-scale fix; rationale in
+      ``kernels/cosine.py::save_fp_lookup``);
+    - Python broadcast: each worker unpickles its own copy. Kept for
+      environments without a worker-readable scratch path.
 
     Returns ``(frame, release)``: call ``release()`` once the frame has been
-    eagerly materialized (checkpointed) — it destroys the broadcast payload so
-    repeated dedup runs in one long-lived session (bench reps, serving jobs)
-    don't accumulate up-to-GB lookup copies on driver and executors
-    (ADVICE r4). The ``stats`` accumulators, when requested, are updated
+    eagerly materialized (checkpointed) — in broadcast mode it destroys the
+    payload so repeated dedup runs in one long-lived session (bench reps,
+    serving jobs) don't accumulate up-to-GB lookup copies on driver and
+    executors (ADVICE r4). In files mode ``release`` is a no-op: sources and
+    fetched copies live in session-scoped scratch (executors validate
+    registered files against their SOURCE on first task, so early deletion
+    breaks fetches), and workers hold at most one lookup's memmaps open. The ``stats`` accumulators, when requested, are updated
     inside a transformation, so their semantics are AT-LEAST-ONCE: a task
     retry or speculative duplicate inflates them. They are reduction
     *evidence*, never inputs to any result."""
-    from srpr_lsh_spark.kernels.cosine import build_fp_lookup, pair_cosines, quant_margin
+    import os
+
+    from srpr_lsh_spark.kernels.cosine import (
+        build_fp_lookup,
+        load_fp_lookup_mmap,
+        pair_cosines,
+        quant_margin,
+        save_fp_lookup,
+    )
 
     sc = pairs.sparkSession.sparkContext
     ids, fps = _collect_fp_matrix(signatures, cfg.fingerprint_dim)
-    blookup = sc.broadcast(build_fp_lookup(ids, fps))
+    if cfg.fp_ship_files:
+        from pyspark import SparkFiles
+
+        # The addFile SOURCE must outlive the session: every executor
+        # validates registered files against their source on its first task
+        # (deleting the source fails the fetch with "does not match
+        # contents"). PySpark's per-session temp dir is shutdown-cleaned, so
+        # parking sources there bounds the leak to session lifetime
+        # (~tens of MB per dedup run at 400k clips).
+        root = getattr(sc, "_temp_dir", None)
+        out_dir = os.path.join(root, "fplk") if root else None
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+        prefix, paths = save_fp_lookup(ids, fps, out_dir=out_dir)
+        for p in paths:
+            sc.addFile(p)
+
+        def get_lookup():
+            return load_fp_lookup_mmap(prefix, SparkFiles.get)
+
+        def release():
+            return None
+    else:
+        blookup = sc.broadcast(build_fp_lookup(ids, fps))
+
+        def get_lookup():
+            return blookup.value
+
+        release = blookup.destroy
     thr, margin = cfg.cosine_threshold, quant_margin(cfg.fingerprint_dim)
     acc_in = sc.accumulator(0)
     acc_int8 = sc.accumulator(0)
@@ -160,7 +209,7 @@ def _phase1_cosine_broadcast(
         stats["int8_pass"] = acc_int8
 
     def gen(batches):
-        lk = blookup.value
+        lk = get_lookup()
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -173,7 +222,7 @@ def _phase1_cosine_broadcast(
             out["cosine"] = cos
             yield out
 
-    return pairs.mapInPandas(gen, schema=PRE_SCHEMA), blookup.destroy
+    return pairs.mapInPandas(gen, schema=PRE_SCHEMA), release
 
 
 def _phase1_cosine_join(

@@ -340,6 +340,49 @@ class TestCosineLookup:
         )
         np.testing.assert_array_equal(keep2, [0])
 
+    def test_memmap_lookup_matches_broadcast_lookup(self, tmp_path):
+        """The file-shipped memmap lookup (save_fp_lookup → load_fp_lookup_mmap,
+        the r5 per-node-page-cache fix) is result-identical to the in-memory
+        broadcast dict through pair_cosines — same kept positions, bit-equal
+        cosines — including missing ids and ids longer than the stored
+        fixed width (the silent-S-truncation false-match trap)."""
+        import os
+
+        from srpr_lsh_spark.kernels.cosine import (
+            build_fp_lookup, load_fp_lookup_mmap, pair_cosines, quant_margin,
+            save_fp_lookup,
+        )
+
+        rng = np.random.default_rng(29)
+        d = 32
+        m = self._unit_rows(rng, 200, d)
+        dup = m[:40] + rng.normal(scale=0.002, size=(40, d)).astype(np.float32)
+        dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+        m = np.vstack([m, dup])
+        # deliberately NOT sorted, varying widths
+        ids = np.array([f"clip_{i * 7 % 240}" for i in range(len(m))], dtype=object)
+        lk_mem = build_fp_lookup(ids, m)
+        prefix, paths = save_fp_lookup(ids, m, out_dir=str(tmp_path))
+        lk_mm = load_fp_lookup_mmap(
+            prefix, lambda name: os.path.join(str(tmp_path), name)
+        )
+        thr = 0.997
+        ia = np.concatenate([np.arange(40), rng.integers(0, len(m), size=1500)])
+        ib = np.concatenate([np.arange(40) + 200, rng.integers(0, len(m), size=1500)])
+        a, b = ids[ia], ids[ib]
+        k1, c1, _ = pair_cosines(lk_mem, a, b, thr, quant_margin(d))
+        k2, c2, _ = pair_cosines(lk_mm, a, b, thr, quant_margin(d))
+        np.testing.assert_array_equal(k1, k2)
+        np.testing.assert_allclose(c1, c2, rtol=0, atol=0)
+        assert k1.size >= 1
+        # missing id and over-width id (would prefix-match "clip_1" if the
+        # S-cast truncation went unguarded) both miss cleanly in both forms
+        probes_a = np.array(["clip_1", "clip_1_but_much_longer", "absent"], dtype=object)
+        probes_b = np.array(["clip_8", "clip_8", "clip_8"], dtype=object)
+        for lk in (lk_mem, lk_mm):
+            keep, _, _ = pair_cosines(lk, probes_a, probes_b, -1.0, quant_margin(d))
+            np.testing.assert_array_equal(keep, [0])
+
     def test_zero_fingerprints_never_pass(self):
         """Silence (all-zero fp) must never link: dot = 0 < threshold — the
         zero-magnitude guard (reference lsh.h:151-155) as a threshold."""

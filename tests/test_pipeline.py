@@ -223,13 +223,15 @@ def test_phase1_join_fallback_matches_broadcast_plan(spark, tmp_path):
             for r in df.collect()
         )
 
-    got_bcast = rows(verify_audio_pairs(cands, clips, sigs, cfg))
+    got_files = rows(verify_audio_pairs(cands, clips, sigs, cfg))  # default: addFile+memmap
+    cfg_bcast = dataclasses.replace(cfg, fp_ship_files=False)      # python broadcast
+    got_bcast = rows(verify_audio_pairs(cands, clips, sigs, cfg_bcast))
     cfg_join = dataclasses.replace(cfg, fp_collect_max_rows=0)  # force fallback
     got_join = rows(verify_audio_pairs(cands, clips, sigs, cfg_join))
-    assert got_bcast == got_join
-    assert len(got_bcast) > 0
-    # plan knob must not invalidate checkpoints (layout field, not semantics)
-    assert cfg.config_hash() == cfg_join.config_hash()
+    assert got_files == got_bcast == got_join
+    assert len(got_files) > 0
+    # plan knobs must not invalidate checkpoints (layout fields, not semantics)
+    assert cfg.config_hash() == cfg_join.config_hash() == cfg_bcast.config_hash()
 
 
 def test_chunked_signatures_partition_resume(spark, tmp_path):
