@@ -32,7 +32,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+def _default_cpus() -> int:
+    """``$SPARK_GRAFT_CPUS`` when set; otherwise HALF the hardware threads.
+
+    Every CPU-bound Python-UDF task occupies TWO schedulable threads — its
+    JVM task thread and its forked python worker process — so ``local[all
+    cores]`` runs 2× oversubscribed exactly on the decode/verify stages that
+    dominate this job. Measured back-to-back at 20k clips on the 32-core
+    sandbox (r5): local[32] = 40–60 s e2e at ~915–967 CPU-s per rep vs
+    local[16] = 29 s at ~330 CPU-s per rep — 3× less CPU burned for ~2× less
+    wall (the 27 s "verify floor" of BENCH_r04 was this, not the verify
+    plan). Same rule on a real cluster: size ``spark.executor.cores`` to
+    physical cores / 2 for Arrow-UDF-heavy stages, or cut
+    ``spark.sql.shuffle.partitions`` accordingly.
+    """
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return max(4, (os.cpu_count() or 16) // 2)
+
+
+DEFAULT_CPUS = _default_cpus()
 
 BENCH_QUERIES = (
     "pricing_summary",
