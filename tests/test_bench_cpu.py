@@ -27,3 +27,18 @@ def test_proc_group_cpu_sees_own_burn():
     # delta includes any sibling activity in the group, so it is a lower
     # bound modulo clock-tick granularity (1/HZ)
     assert delta >= burned - 0.1, (before, delta, burned)
+
+
+def test_default_cpus_honors_env(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "7")
+    assert bench._default_cpus() == 7
+
+
+def test_default_cpus_halves_hardware_threads(monkeypatch):
+    # unset env → half the visible cores (each Python-UDF task occupies a
+    # JVM thread AND a python worker process), floored at 4
+    import os
+
+    monkeypatch.delenv("SPARK_GRAFT_CPUS", raising=False)
+    want = max(4, (os.cpu_count() or 16) // 2)
+    assert bench._default_cpus() == want
