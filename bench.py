@@ -90,24 +90,9 @@ def _proc_group_cpu() -> "float | None":
     python driver). Caveat: CPU of processes that exited between two samples
     is not seen; the JVM and (reused) python workers live across the dedup
     window this brackets, so the delta is a floor within a few percent."""
-    try:
-        pgid = os.getpgid(0)
-        hz = os.sysconf("SC_CLK_TCK")
-    except (OSError, ValueError):
-        return None
-    total_ticks = 0
-    for d in os.listdir("/proc"):
-        if not d.isdigit():
-            continue
-        try:
-            with open(f"/proc/{d}/stat") as f:
-                rest = f.read().rsplit(") ", 1)[1].split()
-            # after ') ': [0]=state [1]=ppid [2]=pgrp ... [11]=utime [12]=stime
-            if int(rest[2]) == pgid:
-                total_ticks += int(rest[11]) + int(rest[12])
-        except (OSError, IndexError, ValueError):
-            continue  # raced with process exit
-    return total_ticks / hz
+    from srpr_lsh_spark.hoststat import proc_group_cpu
+
+    return proc_group_cpu()
 
 
 def _session(cpus: int, shuffle_partitions: "int | None" = None,
@@ -283,6 +268,7 @@ def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
             runs.append({
                 "dedup_sec": round(time.time() - t0, 2),
                 "stage_secs": res.get("stage_secs", {}),
+                "stage_cpu_secs": res.get("stage_cpu_secs", {}),
                 "verify_stats": res.get("verify_stats", {}),
                 "n_clusters": n_clusters,
                 "res": res,
@@ -301,6 +287,10 @@ def bench_once(sf_dir: str, cpus: int, n_clips: "int | None" = None,
         out["clips_per_sec"] = round(n_clips / best["dedup_sec"], 1)
         out["n_clusters"] = best["n_clusters"]
         out["stage_secs"] = best["stage_secs"]
+        # per-stage process-group CPU of the best rep (wall+CPU per stage at
+        # two parallelism levels = the per-stage stall-vs-work table the
+        # scaling report prints)
+        out["stage_cpu_secs"] = best["stage_cpu_secs"]
         # candidate-mass reduction through the audio verify ladder:
         # pairs_in → int8_pass (quantized prefilter survivors) → exact cosine.
         # AT-LEAST-ONCE evidence (accumulators updated in a transformation —
@@ -446,7 +436,9 @@ def _run_shape(sf_dir: str, data_dir: str, n_clips: int, cores: int,
         a = best[n_lo].get("stage_secs", {}).get(st)
         b = best[n_hi].get("stage_secs", {}).get(st)
         if a is not None and b is not None:
-            stage_rows.append((st, a, b, (a / b) if b else float("inf")))
+            ca = best[n_lo].get("stage_cpu_secs", {}).get(st)
+            cb = best[n_hi].get("stage_cpu_secs", {}).get(st)
+            stage_rows.append((st, a, b, (a / b) if b else float("inf"), ca, cb))
     frac = max(0.0, min(1.0, (1.0 - t_hi / t_lo) * ratio / (ratio - 1.0)))
     return {"cores": cores, "mode": mode, "n_lo": n_lo, "n_hi": n_hi, "ratio": ratio,
             "runs": runs, "best": best, "t_lo": t_lo, "t_hi": t_hi,
@@ -490,11 +482,18 @@ def _shape_section(s: dict) -> "list[str]":
         f"{s['best'][n_hi]['dup_pair_recall']} / "
         f"{s['best'][n_hi]['dup_pair_precision']} ({n_hi} exec).",
         "",
-        f"| stage | {n_lo} exec (s) | {n_hi} exec (s) | speedup |",
-        "|---|---|---|---|",
+        f"| stage | {n_lo} exec wall (s) | {n_hi} exec wall (s) | speedup "
+        f"| {n_lo} exec CPU (s) | {n_hi} exec CPU (s) |",
+        "|---|---|---|---|---|---|",
     ]
-    for st, a, b_, sp in s["stage_rows"]:
-        lines.append(f"| {st} | {a} | {b_} | {sp:.2f}× |")
+    fmt = lambda c: "n/a" if c is None else f"{c}"
+    for st, a, b_, sp, ca, cb in s["stage_rows"]:
+        lines.append(f"| {st} | {a} | {b_} | {sp:.2f}× | {fmt(ca)} | {fmt(cb)} |")
+    lines.append(
+        "\n(per-stage CPU = process-group CPU-seconds across that stage's "
+        "wall window — flat CPU + sub-linear wall speedup = stall "
+        "(bandwidth/scheduling floor); inflated CPU = burn "
+        "(spin/contention). Best rep of each level.)")
     lines.append("")
     return lines
 
@@ -720,6 +719,7 @@ def main() -> None:
         "synth_sec": r["synth_sec"],
         "n_clusters": r["n_clusters"],
         "stage_secs": r.get("stage_secs", {}),
+        "stage_cpu_secs": r.get("stage_cpu_secs", {}),
         "cpu_sec": r.get("cpu_sec"),
         "reps": r.get("reps"),
         "dedup_sec_median": r.get("dedup_sec_median"),

@@ -62,19 +62,33 @@ def run_dedup(
     stale stages for a different corpus."""
     import time
 
+    from srpr_lsh_spark.hoststat import proc_group_cpu
+
     wh = Warehouse(
         spark, warehouse_dir, cfg.config_hash(), resume=resume,
         input_key=input_fingerprint(clips, explicit=input_key),
     )
-    out: dict = {"warehouse": wh, "skipped": [], "stage_secs": {}}
+    out: dict = {"warehouse": wh, "skipped": [], "stage_secs": {},
+                 "stage_cpu_secs": {}}
     t_mark = time.time()
+    c_mark = proc_group_cpu()
 
     def note(name, skipped):
-        nonlocal t_mark
+        nonlocal t_mark, c_mark
         if skipped:
             out["skipped"].append(name)
         out["stage_secs"][name] = round(time.time() - t_mark, 2)
         t_mark = time.time()
+        # per-stage process-group CPU (driver + JVM + python workers): wall
+        # and CPU together are the stall-vs-work instrument — a stage whose
+        # wall stops shrinking at 4x cores while its CPU stays flat is
+        # STALLED (bandwidth/scheduling floor), one whose CPU inflates is
+        # BURNING cycles (spin/contention). See srpr_lsh_spark/hoststat.py.
+        if c_mark is not None:
+            c_now = proc_group_cpu()
+            if c_now is not None:
+                out["stage_cpu_secs"][name] = round(c_now - c_mark, 1)
+                c_mark = c_now
 
     def build_signatures() -> DataFrame:
         return compute_signatures(clips, cfg)

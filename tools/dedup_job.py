@@ -127,6 +127,7 @@ def main(argv=None) -> int:
         "value": round(time.time() - t0, 2),
         "unit": "sec",
         "stage_secs": res.get("stage_secs", {}),
+        "stage_cpu_secs": res.get("stage_cpu_secs", {}),
         "stages_resumed": res.get("skipped", []),
         "n_clusters": n_clusters,
         "output": out_dir,
