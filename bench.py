@@ -491,9 +491,15 @@ def _shape_section(s: dict) -> "list[str]":
         lines.append(f"| {st} | {a} | {b_} | {sp:.2f}× | {fmt(ca)} | {fmt(cb)} |")
     lines.append(
         "\n(per-stage CPU = process-group CPU-seconds across that stage's "
-        "wall window — flat CPU + sub-linear wall speedup = stall "
-        "(bandwidth/scheduling floor); inflated CPU = burn "
-        "(spin/contention). Best rep of each level.)")
+        "wall window, best rep of each level. Flat CPU + sub-linear wall "
+        "speedup = OFF-cpu waits: scheduling floors, page-fault/IO stalls. "
+        "CPU inflated at the higher level = ON-cpu cycles the extra "
+        "threads spend not advancing the job: spin, spill re-work, or "
+        "DRAM-stall cycles — a memory-bandwidth-stalled thread still "
+        "accrues CPU time, so inflation is the signature of threads "
+        "sharing one socket's bandwidth. A stage that is both fast AND "
+        "flat-CPU at 4x threads — signatures, whose kernel is L2-blocked "
+        "by design — is the control proving the instrument.)")
     lines.append("")
     return lines
 

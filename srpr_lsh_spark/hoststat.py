@@ -7,9 +7,16 @@ group (driver + py4j-launched JVM + its forked python workers, which all
 share the pgid) separates them:
 
 - equal CPU at both parallelism levels + sub-linear wall → the extra threads
-  STALLED (bandwidth/reclaim); the job did the same work;
-- inflated CPU at the higher level → the extra threads BURNED cycles
-  (spin, cache contention, oversubscription) — a job or config defect.
+  waited OFF-cpu (scheduling floors, page-fault/IO, sleeping locks); the job
+  did the same work;
+- inflated CPU at the higher level → the extra threads spent ON-cpu cycles
+  not advancing the job: spin, spill re-work, oversubscription — or
+  DRAM-stall cycles, since a memory-bandwidth-stalled thread still accrues
+  utime. On a single socket, CPU inflation that appears only at the higher
+  thread count and only in memory-traffic-heavy stages is the signature of
+  shared-bandwidth contention (the 400k v3 study: L2-blocked signatures
+  scale 3.97× with flat CPU; shuffle/numpy-heavy candidates+verify inflate
+  ~2× — a real cluster adds a socket with every executor).
 
 ``RUSAGE_CHILDREN`` cannot provide this: the JVM is a grandchild the python
 process never waits on, so its rusage never rolls up (measured in the r5

@@ -80,10 +80,10 @@ def run_dedup(
         out["stage_secs"][name] = round(time.time() - t_mark, 2)
         t_mark = time.time()
         # per-stage process-group CPU (driver + JVM + python workers): wall
-        # and CPU together are the stall-vs-work instrument — a stage whose
-        # wall stops shrinking at 4x cores while its CPU stays flat is
-        # STALLED (bandwidth/scheduling floor), one whose CPU inflates is
-        # BURNING cycles (spin/contention). See srpr_lsh_spark/hoststat.py.
+        # and CPU together attribute lost scaling — flat CPU + sub-linear
+        # wall = off-cpu waits (scheduling/IO floors); inflated CPU = on-cpu
+        # cycles that don't advance the job (spin, spill, DRAM-stall cycles,
+        # which still accrue utime). See srpr_lsh_spark/hoststat.py.
         if c_mark is not None:
             c_now = proc_group_cpu()
             if c_now is not None:
