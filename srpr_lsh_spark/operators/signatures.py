@@ -108,7 +108,13 @@ def compute_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
                 if blob is not None and len(blob) > 0:
                     pcm = decode_pcm16_wav(bytes(blob), codec=codecs[i])
                     fps[i] = fingerprint(pcm, dim=dim)
-                    stride = max(1, int(srs[i] or 16000) // 1000)
+                    # NULL sr_hz reaches pandas as NaN, and NaN is TRUTHY —
+                    # `int(sr or 16000)` raises on it, and one malformed row
+                    # must not kill a 10¹²-row scan (caught by
+                    # tests/test_pipeline.py::test_null_fields...)
+                    sr = srs[i]
+                    sr = int(sr) if sr is not None and sr == sr else 16000
+                    stride = max(1, sr // 1000)
                     sketches.append(
                         pcm[:: stride][:sketch_points].astype(np.float32)
                     )

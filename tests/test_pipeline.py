@@ -315,3 +315,42 @@ def test_combined_candidates_row_identical_to_per_space(spark, tmp_path):
             space_candidates(sigs, CFG, SOURCE_SIMHASH))
     )
     assert rows(combined_candidates(sigs, CFG)) == want
+
+
+def test_null_fields_survive_the_pipeline(spark, tmp_path):
+    """Rows a 10^12-clip corpus will certainly contain — NULL transcript,
+    NULL bytes, NULL sr_hz, all-NULL payload — must flow through every stage
+    without poisoning a task, every clip must come out labeled, and the
+    evidence rules must still hold:
+
+    - two all-NULL-payload rows are byte-identical (empty) content → the
+      exact-content path links them (the synth corpus's skew group is the
+      planted version of exactly this);
+    - a NULL-transcript row with REAL audio still dedups against the same
+      audio under a different transcript via the SimHash→SNR path;
+    - a NULL-bytes row with a unique transcript stays a singleton.
+    """
+    import numpy as np
+
+    from srpr_lsh_spark.kernels.audio import encode_pcm16_wav
+    from srpr_lsh_spark.sources.readers import clips_schema
+
+    t = np.arange(8000) / 16000.0
+    x = 0.4 * np.sin(2 * np.pi * 523.0 * t) + 0.2 * np.sin(2 * np.pi * 1777.0 * t)
+    wav = encode_pcm16_wav(x, 16000)
+    rows = [
+        ("nt_audio", bytearray(wav), 16000, 500, "pcm_s16le", None),
+        ("tr_audio", bytearray(wav), None, None, "pcm_s16le",
+         "completely different words here"),
+        ("nb_text", None, None, 500, None, "a unique transcript nothing shares"),
+        ("allnull_1", None, None, None, None, None),
+        ("allnull_2", None, None, None, None, None),
+    ]
+    clips = spark.createDataFrame(rows, clips_schema())
+    res = run_dedup(spark, clips, CFG, warehouse_dir=str(tmp_path / "wh"),
+                    resume=False, input_key="null_fields_test")
+    got = {r["clip_id"]: r["cluster_id"] for r in res["clusters"].collect()}
+    assert set(got) == {r[0] for r in rows}          # every clip labeled
+    assert got["allnull_1"] == got["allnull_2"]      # empty content = exact dup
+    assert got["nt_audio"] == got["tr_audio"]        # same audio links sans text
+    assert got["nb_text"] not in (got["nt_audio"], got["allnull_1"])  # singleton
