@@ -522,20 +522,33 @@ def q_ngram_jaccard(spark, sf_dir):
     """Word-set Jaccard of nearby same-source doc pairs — the exact-verify
     kernel in its SQL-expressible form. The 20-id window bounds the pair count
     at O(n·20) while producing non-trivial output at every sf (same-source
-    docs are never id-adjacent in this corpus)."""
+    docs are never id-adjacent in this corpus).
+
+    Plan shape (r6): the range predicate is turned into an equi-join on a
+    20-wide ``doc_id`` bucket (the a-side covers buckets ⌊a/20⌋ and ⌊a/20⌋+1,
+    which together contain every b in (a, a+20]) — joining on ``source``
+    alone makes every probe scan an entire source group, O(n²/|sources|)
+    condition evaluations (measured 14-15 s at sf1.0; guide §3.1/§2.5 "hot
+    keys"). |A∪B| is computed as |A|+|B|-|A∩B| (sides are distinct sets), so
+    no union array is materialized per pair. Row-identical output."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("words")
     )
-    a = d.alias("a")
-    b = d.alias("b")
+    bkt = lambda c: F.floor(c / F.lit(20))
+    a = d.select(
+        "doc_id", "source", "words",
+        F.explode(F.array(bkt(F.col("doc_id")), bkt(F.col("doc_id")) + 1)).alias("bkt"),
+    ).alias("a")
+    b = d.withColumn("bkt", bkt(F.col("doc_id"))).alias("b")
     pairs = a.join(
         b,
         (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.bkt") == F.col("b.bkt"))
         & (F.col("b.doc_id") > F.col("a.doc_id"))
         & (F.col("b.doc_id") <= F.col("a.doc_id") + 20),
     )
     inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
-    union = F.size(F.array_union(F.col("a.words"), F.col("b.words")))
+    union = F.size(F.col("a.words")) + F.size(F.col("b.words")) - inter
     return pairs.select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
