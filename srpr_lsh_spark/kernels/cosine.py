@@ -78,6 +78,11 @@ def save_fp_lookup(ids, fps: np.ndarray, out_dir: "str | None" = None):
     ``SparkFiles.get``)."""
     ids_list = [s if isinstance(s, str) else str(s) for s in np.asarray(ids, dtype=object)]
     enc = [s.encode("utf-8") for s in ids_list]
+    if any(b"\x00" in b for b in enc):
+        # the fixed-width S dtype pads with NULs, so an id ENDING in one would
+        # compare equal to its padded shorter sibling — make the precondition
+        # explicit instead of silently false-matching (r5 ADVICE #3)
+        raise ValueError("clip ids must not contain NUL bytes (S-dtype padding)")
     w = max((len(b) for b in enc), default=1)
     ids_s = np.array(enc, dtype=f"S{w}") if enc else np.empty(0, dtype=f"S{w}")
     order = np.argsort(ids_s, kind="stable")

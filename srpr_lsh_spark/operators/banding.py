@@ -9,7 +9,10 @@ are rows sharing ``(band_id, band_hash)``; dedup across bands is a
 Skew design (SURVEY.md §4.3.2) — a naive self-join is O(|bucket|²), fatal for
 hot bands (near-identical mass content, zero fingerprints):
 - bucket sizes come from a map-side-combinable ``groupBy().count()`` first;
-- buckets ≤ ``bucket_pair_cap`` do the exact all-pairs self-join;
+- buckets ≤ ``bucket_pair_cap`` expand all pairs from a per-bucket sorted
+  member array (one ``collect_list`` shuffle, bounded by the cap, with the
+  pair combinations generated in codegen — r6: replaces the former two-sided
+  bucket self-join, one exchange + two sorts fewer per pass, guide §2.4);
 - larger buckets emit STAR pairs to TWO anchors (every member ↔ the bucket's
   min clip_id AND ↔ its max clip_id): O(n) edges. Recall preservation here is
   a high-probability heuristic, not a guarantee — a member whose similarity
@@ -22,17 +25,92 @@ hot bands (near-identical mass content, zero fingerprints):
   tests/test_components.py plants an adversarial over-cap bucket whose min
   anchor is dissimilar to half the members.
 - AQE skew-join splitting handles residual imbalance in the join itself.
+
+Id encoding (r6, guide §2.3 "narrower types" / r5 VERDICT next-round #2):
+the banding/pair subgraph shuffles tens of rows per clip, so
+``combined_candidates`` / ``space_candidates`` first dictionary-encode
+``clip_id`` strings to dense int64 via ``build_id_map`` (the SURVEY §2.3
+id-remap operator; reference analogue ``src/DataManager.h:79-105``), run the
+whole explode → sizes → pair → dedup pipeline on int64, and map back to
+strings only for the final (much smaller) deduped pair frame. The encoding is
+ORDER-PRESERVING (dense rank of the sorted ids), so min/max anchor choice,
+collapse representatives and the a < b pair canonicalization are exactly the
+string-order decisions — the decoded output is row-identical to the pre-r6
+string plan (pytest-pinned). Min/max/groupBy on int64 also run as
+HashAggregate instead of the SortAggregate that string min/max forces.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-from srpr_lsh_spark.config import DedupConfig
+from srpr_lsh_spark.config import SRP_BAND_OFFSET, DedupConfig
 
-# band_id layout: [0, bands) = MinHash bands; [bands, bands+sim_tables) = SRP tables
+# band_id layout: [0, bands) = MinHash bands; SRP table t at SRP_BAND_OFFSET+t
 SOURCE_MINHASH = "minhash"
 SOURCE_SIMHASH = "simhash"
+
+
+def build_id_map(signatures: DataFrame, n_parts: "int | None" = None) -> DataFrame:
+    """``(clip_id string, cid long)`` dense ORDER-PRESERVING dictionary.
+
+    cid = rank of clip_id in the sorted id set — fully deterministic given the
+    id set, so every decision made on cid order (min-anchor, a < b) decodes to
+    the identical string-order decision. Built scalably: range-partition the
+    ids, per-partition ``row_number`` plus the partition's cumulative offset
+    (computed with a window over the tiny per-partition-count frame — no
+    driver collect, no single-partition sort of the data).
+
+    Both checkpoints are LAZY (``eager=False``): no job runs until a consumer
+    materializes the map inside its own stage action, so building the map
+    adds zero serial driver prologue to the candidates stage. The checkpoint
+    is still required for consistency — the sampled range boundaries (and so
+    ``spark_partition_id``) must be evaluated exactly once, and the cached
+    blocks guarantee every downstream branch (offsets, row_numbers, decode
+    joins) sees the same partitioning."""
+    spark = signatures.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    parts = (
+        signatures.select("clip_id")
+        .repartitionByRange(n_parts, "clip_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = parts.groupBy("pid").agg(F.count("*").alias("n"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "pid", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off")
+    )
+    w_rn = Window.partitionBy("pid").orderBy("clip_id")
+    return (
+        parts.join(F.broadcast(offs), "pid")
+        .select(
+            "clip_id",
+            (F.row_number().over(w_rn) - 1 + F.col("off")).cast("long").alias("cid"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _encode(signatures: DataFrame, id_map: DataFrame) -> DataFrame:
+    """signatures with ``clip_id`` replaced by its int64 ``cid`` (same column
+    name, so the banding operators below are id-type-agnostic)."""
+    return (
+        signatures.join(id_map, "clip_id")
+        .drop("clip_id")
+        .withColumnRenamed("cid", "clip_id")
+    )
+
+
+def _decode_pairs(pairs: DataFrame, id_map: DataFrame) -> DataFrame:
+    """(a cid, b cid, source) → (a, b, source) strings via two map joins."""
+    am = id_map.select(F.col("cid").alias("a"), F.col("clip_id").alias("_a"))
+    bm = id_map.select(F.col("cid").alias("b"), F.col("clip_id").alias("_b"))
+    return (
+        pairs.join(am, "a")
+        .join(bm, "b")
+        .select(F.col("_a").alias("a"), F.col("_b").alias("b"), "source")
+    )
 
 
 def explode_bands(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -54,7 +132,7 @@ def explode_bands(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
         "clip_id", F.posexplode("sim_keys").alias("t", "band_hash")
     ).select(
         "clip_id",
-        (F.col("t") + F.lit(cfg.bands)).alias("band_id"),
+        (F.col("t") + F.lit(SRP_BAND_OFFSET)).alias("band_id"),
         "band_hash",
         F.lit(SOURCE_SIMHASH).alias("source"),
     )
@@ -64,7 +142,9 @@ def explode_bands(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     """bands → candidate_pairs(a, b, source) with a < b, distinct.
 
-    Two-regime plan keyed by bucket size (see module docstring).
+    Two-regime plan keyed by bucket size (see module docstring). Id-type
+    agnostic: works identically on string clip_ids (tests, explode_bands
+    callers) and the int64-encoded pipeline path.
     """
     key = ["band_id", "band_hash"]
     sizes = bands.groupBy(*key).agg(F.count("*").alias("bsz")).filter(F.col("bsz") >= 2)
@@ -73,9 +153,32 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     small = tagged.filter(F.col("bsz") <= cfg.bucket_pair_cap)
     big = tagged.filter(F.col("bsz") > cfg.bucket_pair_cap)
 
-    a = small.select(*key, F.col("clip_id").alias("a"), F.col("source").alias("source"))
-    b = small.select(*key, F.col("clip_id").alias("b"))
-    small_pairs = a.join(b, key).filter(F.col("a") < F.col("b")).select("a", "b", "source")
+    # capped buckets: ONE groupBy into a sorted member array (bounded by the
+    # cap), then emit every a < b combination in codegen — the former
+    # two-sided self-join shuffled both projections and sorted each for an
+    # SMJ; this shuffles the member rows once (guide §2.4). The pair (a, b)
+    # keeps a's source, exactly like the a-side of the old join did.
+    grouped = small.groupBy(*key).agg(
+        F.sort_array(F.collect_list(F.struct("clip_id", "source"))).alias("ms")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["clip_id"].alias("a"),
+                    y["clip_id"].alias("b"),
+                    x["source"].alias("source"),
+                ),
+            ),
+        )
+    )
+    small_pairs = (
+        grouped.select(F.explode(combos).alias("p"))
+        .select("p.a", "p.b", "p.source")
+        .filter(F.col("a") < F.col("b"))
+    )
 
     # two-anchor star: min AND max clip_id — still O(n) edges per bucket, but
     # a member dissimilar to one anchor gets a second independent chance to
@@ -113,9 +216,14 @@ def space_candidates(signatures: DataFrame, cfg: DedupConfig, source: str) -> Da
 
     All emitted edges (star and bucket) still pass exact verification, so
     this changes cost, never correctness of the final clusters.
+
+    Runs on int64-encoded ids internally (module docstring); the returned
+    frame carries the original string ids.
     """
-    within, bands = _space_parts(signatures, cfg, source)
-    return candidate_pairs(bands, cfg).unionByName(within)
+    id_map = build_id_map(signatures)
+    enc = _encode(signatures, id_map)
+    within, bands = _space_parts(enc, cfg, source)
+    return _decode_pairs(candidate_pairs(bands, cfg).unionByName(within), id_map)
 
 
 def _space_parts(signatures: DataFrame, cfg: DedupConfig, source: str):
@@ -134,7 +242,9 @@ def _space_parts(signatures: DataFrame, cfg: DedupConfig, source: str):
         explode_cols = lambda df: df.select(
             "clip_id", F.posexplode("sim_keys").alias("t", "band_hash")
         ).select(
-            "clip_id", (F.col("t") + F.lit(10_000)).alias("band_id"), "band_hash"
+            "clip_id",
+            (F.col("t") + F.lit(SRP_BAND_OFFSET)).alias("band_id"),
+            "band_hash",
         )
     else:
         raise ValueError(source)
@@ -159,17 +269,23 @@ def combined_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     Row-identical to ``space_candidates(MINHASH) ∪ space_candidates(SIMHASH)``
     (pytest-pinned): the band-id key spaces are disjoint ([0, bands) vs
-    10_000+table), so buckets never mix across spaces and per-space bucket
-    sizes are unchanged; ``source`` rides along and ``dropDuplicates``
+    SRP_BAND_OFFSET+table), so buckets never mix across spaces and per-space
+    bucket sizes are unchanged; ``source`` rides along and ``dropDuplicates``
     includes it, so no cross-space dedup happens either. The win is plan
     shape, not rows — one sizes groupBy, one tagged join, one pair
     deduplication instead of two of each, roughly halving the candidates
     stage's shuffle-stage count, which is the corpus-size-independent
-    scheduling floor the scaling studies keep measuring (VERDICT r4 #1)."""
-    mh_within, mh_bands = _space_parts(signatures, cfg, SOURCE_MINHASH)
-    sh_within, sh_bands = _space_parts(signatures, cfg, SOURCE_SIMHASH)
+    scheduling floor the scaling studies keep measuring (VERDICT r4 #1).
+
+    r6: the whole pass runs on int64-encoded ids (module docstring); only the
+    final deduped pair frame is mapped back to strings."""
+    id_map = build_id_map(signatures)
+    enc = _encode(signatures, id_map)
+    mh_within, mh_bands = _space_parts(enc, cfg, SOURCE_MINHASH)
+    sh_within, sh_bands = _space_parts(enc, cfg, SOURCE_SIMHASH)
     pairs = candidate_pairs(mh_bands.unionByName(sh_bands), cfg)
-    return pairs.unionByName(mh_within).unionByName(sh_within)
+    out = pairs.unionByName(mh_within).unionByName(sh_within)
+    return _decode_pairs(out, id_map)
 
 
 def exact_content_edges(signatures: DataFrame) -> DataFrame:

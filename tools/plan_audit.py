@@ -120,11 +120,25 @@ def main() -> int:
         rows.append(("audio isolation", "dedup candidates", ok,
                      f"{len(exch)} Exchange nodes, {len(bad)} carrying bytes"))
 
-        # 5: containment index scan prunes to (clip_id, transcript)
+        # 5: containment's transcript-scanning kernels prune the clips scan
+        # to (clip_id, transcript) — inspected on the LIVE kernel frames:
+        # the composed containment plan hides them behind the lazy index
+        # checkpoint (Scan ExistingRDD), so the composed plan alone no
+        # longer exposes the parquet ReadSchema (r6)
+        from srpr_lsh_spark.operators.substring import (
+            _shingle_df_counts,
+            _shingle_index,
+        )
+
         sigs = res["signatures"]
         cc = containment_candidates(clips, sigs, cfg)
-        plan = _formatted(cc)
-        scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        plans = [
+            _formatted(_shingle_df_counts(clips, cfg)),
+            _formatted(_shingle_index(clips, cfg)),
+            _formatted(cc),
+        ]
+        scans = [s for p in plans
+                 for s in re.findall(r"ReadSchema: struct<([^>]*)>", p)]
         clip_scans = [s for s in scans if "transcript" in s]
         ok = bool(clip_scans) and all("bytes" not in s for s in clip_scans)
         rows.append(("containment index pruning", "_shingle_index", ok,
