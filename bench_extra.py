@@ -36,12 +36,51 @@ def timed(spark, label: str, fn, out: dict) -> None:
     spark.sparkContext.setJobDescription(None)
 
 
+def time_queries(sf_dir: str, cpus: int, reps: int, names: "list[str] | None" = None) -> None:
+    """Per-query noop timing at an arbitrary sf dir (reps interleaved so a
+    slow host window hits all queries equally, per NOTES 'environment quirks'
+    #2; report min + all samples)."""
+    from bench import BENCH_QUERIES
+
+    spark = _session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    names = names or list(BENCH_QUERIES)
+    samples: dict = {n: [] for n in names}
+    try:
+        for rep in range(reps):
+            for name in names:
+                spark.sparkContext.setJobDescription(f"q:{name}:rep{rep}")
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+                samples[name].append(round(time.time() - t0, 3))
+                spark.sparkContext.setJobDescription(None)
+        print(json.dumps({"sf_dir": sf_dir, "cpus": cpus,
+                          "min": {n: min(v) for n, v in samples.items()},
+                          "samples": samples}))
+    finally:
+        spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data-dir", required=True)
+    ap.add_argument("--data-dir")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", DEFAULT_CPUS)))
     ap.add_argument("--parts", default="sig,cand,sub,verify,cc")
+    ap.add_argument("--queries", action="store_true",
+                    help="time the bench queries at --sf-dir instead of dedup stages")
+    ap.add_argument("--only", default=None, help="comma list of query names for --queries")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
+    if args.queries:
+        time_queries(args.sf_dir, args.cpus, args.reps,
+                     args.only.split(",") if args.only else None)
+        return
+    if not args.data_dir:
+        ap.error("--data-dir required unless --queries")
     parts = set(args.parts.split(","))
 
     from pyspark.sql import functions as F

@@ -30,6 +30,17 @@ def tune_allocator_env() -> None:
     """
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+    # one BLAS thread per python worker (r6): numpy links openblas64, whose
+    # default pool spawns one thread PER CORE per process and busy-spins at
+    # sync points. Each worker is already one of N parallel Spark tasks, so
+    # nested BLAS parallelism is pure oversubscription — measured at 200k
+    # clips/32 workers it inflated the signatures stage to ~1600 CPU-s
+    # (vs a ~260 CPU-s single-thread floor for the same math) through
+    # spin-wait cycles in every `@`/GEMM call (srp_keys, cosine kernels).
+    # Same rule on a real cluster: spark.executorEnv.OPENBLAS_NUM_THREADS=1.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     # pyarrow's default jemalloc pool madvises pages back per batch —
     # measured 7× slower than the system pool on this host AND fault-bound
     # under concurrency (BENCH/VARIANCE.md). Workers import pyarrow after
@@ -68,6 +79,12 @@ class DedupConfig:
     # the join-based plan (the 10¹²-clip path: sort-merge on bucketed
     # signatures). 5M rows ≈ 0.9 GB payload at d=32 — a sane broadcast ceiling.
     fp_collect_max_rows: int = 5_000_000
+    # ceiling for the text verify's driver-collected shingle-CSR lookup
+    # (operators/verify.py::verify_text_pairs, r6): each row costs ~8 B per
+    # distinct shingle (~1-2 KB/row at transcript shapes), so 2M rows ≈ 2-4 GB
+    # — the practical addFile/memmap bound. Beyond it the stage falls back to
+    # the join plan (result-identical, parity-tested; the 10¹²-clip path).
+    text_collect_max_rows: int = 2_000_000
     # how the collected phase-1 lookup reaches workers. True (default): write
     # .npy files, ship via sc.addFile, np.memmap in workers — ONE page-cache
     # copy per node, no per-worker unpickle (the r5 fix for the
@@ -175,6 +192,7 @@ class DedupConfig:
         "aqe_advisory_bytes",  # post-shuffle layout, never the result
         "containment_union_max_hashes",  # picks the index plan, never the result
         "fp_collect_max_rows",  # picks the phase-1 plan, never the result
+        "text_collect_max_rows",  # picks the text-verify plan, never the result
         "fp_ship_files",  # lookup transport, never the result
         "verify_small_join_max_pairs",  # ditto
         "verify_decode_slice_rows",  # batch re-chunking, identical rows

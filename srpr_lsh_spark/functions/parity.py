@@ -263,15 +263,29 @@ FROM events GROUP BY 1, 2
 
 def q_topk_per_group(spark, sf_dir):
     """Brute-force top-k with total-order tie-break (score desc, id desc) —
-    the reference's ranked retrieval discipline (main.cpp:36)."""
+    the reference's ranked retrieval discipline (main.cpp:36).
+
+    Plan shape (r6): one aggregation + posexplode instead of sort → exchange
+    → sort → window → filter (same restructure as q_dcg; groups are ~10
+    orders/customer, so the per-group sorted array is tiny). row_number over
+    (totalprice desc, orderkey desc) ≡ 1 + position in the desc-sorted
+    (totalprice, orderkey) array — a total order, orderkey unique — so the
+    output is row-identical."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").desc()
+    top = F.slice(
+        F.sort_array(F.collect_list(F.struct("o_totalprice", "o_orderkey")), False),
+        1,
+        3,
     )
     return (
-        o.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 3)
-        .select("o_custkey", "o_orderkey", "rnk")
+        o.groupBy("o_custkey")
+        .agg(top.alias("top"))
+        .select("o_custkey", F.posexplode("top").alias("pos", "s"))
+        .select(
+            "o_custkey",
+            F.col("s.o_orderkey").alias("o_orderkey"),
+            (F.col("pos") + 1).cast("long").alias("rnk"),
+        )
     )
 
 
@@ -354,15 +368,35 @@ LEFT JOIN retr t ON s.query_id = t.query_id
 
 def q_dcg(spark, sf_dir):
     """DCG@k: Σ rel / log2(rank+1) over a ranked window —
-    src/MetricsCalculator.h:81-88 as one window + agg."""
+    src/MetricsCalculator.h:81-88.
+
+    Plan shape (r6): ONE aggregation instead of sort → exchange → sort →
+    window → filter → regroup. Groups are tiny (≤7 lines/order), so per-group
+    ``sort_array`` desc of (price, linenumber, qty) structs + a slice-5
+    in-codegen fold replaces two full 6M-row sorts and the window machinery
+    (guide §2.4 "remove shuffles outright" — here the removed work is the
+    sort+window pass; the one exchange that remains is the groupBy's).
+    Row-identical and bit-identical: (price, linenumber) is a total order
+    within an order (linenumber unique), and the fold sums rank-ascending —
+    the same float additions in the same sequence as the window plan's
+    post-window aggregation."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_extendedprice").desc(), F.col("l_linenumber").desc()
+    top = F.slice(
+        F.sort_array(
+            F.collect_list(
+                F.struct("l_extendedprice", "l_linenumber", "l_quantity")
+            ),
+            False,
+        ),
+        1,
+        5,
     )
-    ranked = li.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
-    return ranked.groupBy("l_orderkey").agg(
+    terms = F.transform(
+        top, lambda x, i: x["l_quantity"] / F.log2(i.cast("double") + F.lit(2.0))
+    )
+    return li.groupBy("l_orderkey").agg(
         F.round(
-            F.sum(F.col("l_quantity") / F.log2(F.col("rnk") + 1)), 4
+            F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v), 4
         ).alias("dcg")
     )
 
@@ -611,28 +645,33 @@ def q_embedding_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k over embeddings (the reference's oracle path,
     main.cpp:29-44): queries = vec_id < 5, k = 10, tie-break (sim desc, id)."""
     e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    # norms are per-VECTOR, so compute each side's norm once in a projection
+    # BEFORE the cross join (r6): the join used to re-evaluate the candidate
+    # norm fold for every one of the |q|×|c| pairs — ~3× the per-pair
+    # higher-order-function work for identical values (guide §1.2 "don't
+    # compute things you throw away"). Same expression on the same input ⇒
+    # bit-identical cosine.
+    _norm = lambda col: F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
     )
-    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _norm("embedding").alias("nq"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        _norm("embedding").alias("nc"),
+    )
     dot = F.aggregate(
         F.zip_with("qv", "cv", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
-    )
-    nq = F.sqrt(
-        F.aggregate(
-            F.transform("qv", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    nc = F.sqrt(
-        F.aggregate(
-            F.transform("cv", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
     )
     sims = (
         q.crossJoin(c)
@@ -640,7 +679,7 @@ def q_embedding_cosine_topk(spark, sf_dir):
         .select(
             "query_id",
             "cand_id",
-            F.round(dot / (nq * nc), 4).alias("cosine"),
+            F.round(dot / (F.col("nq") * F.col("nc")), 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

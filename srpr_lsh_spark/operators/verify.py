@@ -63,22 +63,31 @@ def _spread(pairs: DataFrame) -> DataFrame:
     return pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
 
 
-def verify_text_pairs(pairs: DataFrame, clips: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(a, b, source) + clips → verified (a, b, source, jaccard) at threshold."""
+TEXT_SCHEMA = StructType(
+    [
+        StructField("a", StringType(), False),
+        StructField("b", StringType(), False),
+        StructField("source", StringType(), False),
+        StructField("jaccard", DoubleType(), False),
+    ]
+)
+
+# source .npy files of the previous run's file-shipped shingle lookup —
+# single-slot policy, mirrors _PREV_FP_SOURCES
+_PREV_TXT_SOURCES: "list[str]" = []
+
+
+def _verify_text_join(pairs: DataFrame, clips: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Join-based text verify — the beyond-collect-scale / small-pair plan:
+    both transcripts joined onto each pair, shingled and compared in the UDF.
+    At 10¹² clips these joins run against a bucketed clips table; below the
+    collect ceiling with a large pair frame, the lookup plan is strictly
+    better (each distinct doc is shingled once, not once per pair side)."""
     pairs = _spread(pairs)
     t = clips.select("clip_id", "transcript")
     withz = _attach(pairs, t, {"transcript": "ta"}, "a", shrink=False)
     withz = _attach(withz, t, {"transcript": "tb"}, "b", shrink=False)
     k, seed, thr = cfg.k_shingle, cfg.seed, cfg.jaccard_threshold
-
-    schema = StructType(
-        [
-            StructField("a", StringType(), False),
-            StructField("b", StringType(), False),
-            StructField("source", StringType(), False),
-            StructField("jaccard", DoubleType(), False),
-        ]
-    )
 
     def gen(batches):
         for pdf in batches:
@@ -94,7 +103,125 @@ def verify_text_pairs(pairs: DataFrame, clips: DataFrame, cfg: DedupConfig) -> D
             out["jaccard"] = js[keep]
             yield out
 
-    return withz.mapInPandas(gen, schema=schema)
+    return withz.mapInPandas(gen, schema=TEXT_SCHEMA)
+
+
+def _collect_shingle_csr(clips: DataFrame, cfg: DedupConfig):
+    """Driver-side: (ids, flat, offsets) CSR of every clip's shingle set,
+    computed by ONE distributed kernel pass over the slim (clip_id,
+    transcript) projection and collected via ``toArrow`` (flat buffer views,
+    no per-row Python conversion)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    k, seed = cfg.k_shingle, cfg.seed
+    schema = StructType(
+        [
+            StructField("clip_id", StringType(), False),
+            StructField("hs", ArrayType(LongType(), False), False),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = normalize_transcript(pdf["transcript"].tolist())
+            flat, off = shingle_hashes(texts, k=k, seed=seed)
+            flat_i = flat.view(np.int64)
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"].astype(str),
+                    "hs": [flat_i[off[i] : off[i + 1]] for i in range(len(texts))],
+                }
+            )
+
+    tbl = clips.select("clip_id", "transcript").mapInPandas(gen, schema=schema).toArrow()
+    ids = tbl.column("clip_id").to_numpy(zero_copy_only=False)
+    col = tbl.column("hs").combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    offsets = col.offsets.to_numpy().astype(np.int64, copy=False)
+    return ids, flat, offsets
+
+
+def verify_text_pairs(
+    pairs: DataFrame, clips: DataFrame, cfg: DedupConfig,
+    n_candidates: "int | None" = None,
+    n_rows: "int | None" = None,
+) -> DataFrame:
+    """(a, b, source) + clips → verified (a, b, source, jaccard) at threshold.
+
+    Plan choice (r6, mirrors the audio verify's gating):
+
+    - small pair frames (``n_candidates`` < ``cfg.verify_small_join_max_pairs``)
+      keep the plain join plan — the lookup's fixed costs (one clips scan,
+      driver collect, addFile ship) don't pay for themselves;
+    - else, while the corpus fits ``cfg.text_collect_max_rows``, each distinct
+      doc is shingled ONCE by a distributed kernel pass, the CSR is shipped
+      via ``sc.addFile`` and memmapped by workers, and the pair UDF probes it
+      with an exact size-bound prefilter — no transcript joins, no per-pair
+      re-shingling (measured ~80× redundant at 50k docs / 2M pairs);
+    - beyond the ceiling: join plan (the 10¹²-clip path).
+
+    All plans are row-identical (parity-tested): same intersection counts,
+    same float64 division, same inner-join id semantics."""
+    small = (
+        n_candidates is not None
+        and n_candidates < cfg.verify_small_join_max_pairs
+    )
+    if small:
+        return _verify_text_join(pairs, clips, cfg)
+    if n_rows is None:
+        n_rows = clips.count()
+    if n_rows > cfg.text_collect_max_rows:
+        return _verify_text_join(pairs, clips, cfg)
+
+    import os
+
+    from pyspark import SparkFiles
+
+    from srpr_lsh_spark.kernels.text import (
+        load_shingle_lookup_mmap,
+        pair_jaccards,
+        save_shingle_lookup,
+    )
+
+    sc = pairs.sparkSession.sparkContext
+    ids, flat, offsets = _collect_shingle_csr(clips, cfg)
+    # same source-lifetime discipline as the fp lookup (_phase1_cosine_broadcast):
+    # park sources in the session temp dir, delete the previous run's set
+    root = getattr(sc, "_temp_dir", None)
+    out_dir = os.path.join(root, "txlk") if root else None
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    for prev in _PREV_TXT_SOURCES:
+        try:
+            os.unlink(prev)
+        except OSError:
+            pass
+    _PREV_TXT_SOURCES.clear()
+    prefix, paths = save_shingle_lookup(ids, flat, offsets, out_dir=out_dir)
+    for p in paths:
+        sc.addFile(p)
+    _PREV_TXT_SOURCES.extend(paths)
+    if not out_dir:
+        import atexit
+
+        d = os.path.dirname(paths[0])
+        atexit.register(lambda: __import__("shutil").rmtree(d, ignore_errors=True))
+
+    thr = cfg.jaccard_threshold
+
+    def gen(batches):
+        lk = load_shingle_lookup_mmap(prefix, SparkFiles.get)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep, js = pair_jaccards(lk, pdf["a"].to_numpy(), pdf["b"].to_numpy(), thr)
+            out = pdf.iloc[keep][["a", "b", "source"]].copy()
+            out["jaccard"] = js
+            yield out
+
+    return _spread(pairs).mapInPandas(gen, schema=TEXT_SCHEMA)
 
 
 def _collect_fp_matrix(signatures: DataFrame, dim: int) -> "tuple[np.ndarray, np.ndarray]":

@@ -212,7 +212,10 @@ def _run_dedup(
     def build_verified() -> DataFrame:
         exact = _pad(exact_content_edges(sigs))
         text = _pad(
-            verify_text_pairs(cands.filter(F.col("source") == SOURCE_MINHASH), clips, cfg)
+            verify_text_pairs(
+                cands.filter(F.col("source") == SOURCE_MINHASH), clips, cfg,
+                n_candidates=n_cands, n_rows=n_sigs,
+            )
         )
         audio = _pad(
             verify_audio_pairs(

@@ -245,6 +245,55 @@ class TestTextKernels:
     def test_normalize(self):
         assert normalize_transcript(["  Hello\t WORLD \n", None]) == ["hello world", ""]
 
+    def test_shingle_lookup_pair_jaccards_match_batch(self, tmp_path):
+        """The memmapped CSR lookup (r6 text-verify plan) reproduces
+        batch_jaccard exactly: same kept set, same float64 values — including
+        empty rows, absent ids (dropped, the inner-join semantics), and the
+        exact size-bound prefilter never dropping a qualifying pair."""
+        from srpr_lsh_spark.kernels.text import (
+            batch_jaccard,
+            load_shingle_lookup_mmap,
+            pair_jaccards,
+            save_shingle_lookup,
+        )
+
+        rng = np.random.default_rng(7)
+        ids, rows = [], []
+        for i in range(40):
+            n = int(rng.integers(0, 60))
+            u = np.unique(rng.integers(0, 2**63, size=n, dtype=np.uint64))
+            ids.append(f"doc{i:03d}")
+            rows.append(np.sort(u))
+        offsets = np.concatenate([[0], np.cumsum([r.size for r in rows])]).astype(np.int64)
+        flat = (
+            np.concatenate(rows) if rows else np.empty(0, dtype=np.uint64)
+        )
+        prefix, paths = save_shingle_lookup(ids, flat, offsets, out_dir=str(tmp_path))
+        lk = load_shingle_lookup_mmap(prefix, lambda b: str(tmp_path / b))
+
+        a_idx = rng.integers(0, 40, size=200)
+        b_idx = rng.integers(0, 40, size=200)
+        a_ids = np.array([ids[i] for i in a_idx], dtype=object)
+        b_ids = np.array([ids[i] for i in b_idx], dtype=object)
+        # reference: batch_jaccard over the same pair rows
+        oa = np.concatenate([[0], np.cumsum([rows[i].size for i in a_idx])]).astype(np.int64)
+        ob = np.concatenate([[0], np.cumsum([rows[i].size for i in b_idx])]).astype(np.int64)
+        fa = np.concatenate([rows[i] for i in a_idx]) if len(a_idx) else np.empty(0, np.uint64)
+        fb = np.concatenate([rows[i] for i in b_idx]) if len(b_idx) else np.empty(0, np.uint64)
+        want = batch_jaccard(fa, oa, fb, ob)
+        for thr in (0.0, 0.2, 0.5, 0.8, 1.0):
+            kept, js = pair_jaccards(lk, a_ids, b_ids, thr)
+            want_kept = np.flatnonzero(want >= thr)
+            np.testing.assert_array_equal(kept, want_kept)
+            np.testing.assert_array_equal(js, want[want_kept])  # exact, not approx
+
+        # absent ids drop the pair entirely
+        kept, js = pair_jaccards(
+            lk, np.array(["doc000", "nope"], dtype=object),
+            np.array(["doc001", "doc002"], dtype=object), 0.0,
+        )
+        assert list(kept) == [0]
+
     def test_suffix_array_matches_naive(self):
         rng = np.random.default_rng(11)
         for _ in range(10):

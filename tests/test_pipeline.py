@@ -234,6 +234,56 @@ def test_phase1_join_fallback_matches_broadcast_plan(spark, tmp_path):
     assert cfg.config_hash() == cfg_join.config_hash() == cfg_bcast.config_hash()
 
 
+def test_text_lookup_plan_matches_join_plan(spark, tmp_path):
+    """The two text-verify plans — memmapped shingle-CSR lookup (r6) and the
+    transcript-join fallback — must verify the SAME pairs with the SAME
+    jaccard values: the size-bound prefilter is exact (J ≤ min/max), so plan
+    choice can never change results. Also pins the gating: a small candidate
+    count or an over-ceiling corpus selects the join plan."""
+    import dataclasses
+
+    from srpr_lsh_spark.operators.banding import SOURCE_MINHASH, space_candidates
+    from srpr_lsh_spark.operators.signatures import compute_signatures
+    from srpr_lsh_spark.operators.verify import _verify_text_join, verify_text_pairs
+
+    clips, _ = synthesize_clips(
+        spark,
+        SynthParams(n_clips=300, block_size=100, seed=9, min_dur_ms=300, max_dur_ms=900),
+        out_dir=str(tmp_path / "d"),
+    )
+    cfg = CFG
+    sigs = compute_signatures(clips, cfg).localCheckpoint(eager=True)
+    n = sigs.count()
+    cands = space_candidates(sigs, cfg, SOURCE_MINHASH).localCheckpoint(eager=True)
+
+    def rows(df):
+        return sorted(
+            (r["a"], r["b"], r["source"], r["jaccard"]) for r in df.collect()
+        )
+
+    got_join = rows(_verify_text_join(cands, clips, cfg))
+    # n_candidates above the small-join gate → lookup plan
+    got_lookup = rows(
+        verify_text_pairs(
+            cands, clips, cfg,
+            n_candidates=cfg.verify_small_join_max_pairs + 1, n_rows=n,
+        )
+    )
+    assert got_lookup == got_join
+    assert len(got_join) > 0
+    # over-ceiling corpus falls back to the join plan, same rows
+    cfg_big = dataclasses.replace(cfg, text_collect_max_rows=0)
+    got_fallback = rows(
+        verify_text_pairs(
+            cands, clips, cfg_big,
+            n_candidates=cfg.verify_small_join_max_pairs + 1, n_rows=n,
+        )
+    )
+    assert got_fallback == got_join
+    # the plan knob is a layout field: checkpoints stay valid across it
+    assert cfg.config_hash() == cfg_big.config_hash()
+
+
 def test_chunked_signatures_partition_resume(spark, tmp_path):
     """Partition-granularity resume for the expensive scan (SURVEY §4.3.5 /
     VERDICT r4 #7): with signatures_chunks=4, each chunk of the input FILE
