@@ -61,20 +61,21 @@ def build_id_map(signatures: DataFrame, n_parts: "int | None" = None) -> DataFra
     (computed with a window over the tiny per-partition-count frame — no
     driver collect, no single-partition sort of the data).
 
-    Both checkpoints are LAZY (``eager=False``): no job runs until a consumer
-    materializes the map inside its own stage action, so building the map
-    adds zero serial driver prologue to the candidates stage. The checkpoint
-    is still required for consistency — the sampled range boundaries (and so
-    ``spark_partition_id``) must be evaluated exactly once, and the cached
-    blocks guarantee every downstream branch (offsets, row_numbers, decode
-    joins) sees the same partitioning."""
+    Both checkpoints are EAGER (r6): ``parts`` is referenced by the counts
+    aggregate and the offsets join, and the returned map by the encode join
+    plus two decode joins — several of those subtrees are built by parallel
+    broadcast/stage threads, and a lazy checkpoint lets them race to compute
+    the same partitions (A/B at 200k: the candidates stage dropped 578 → 307
+    CPU-s cold with eager checkpoints through this subgraph). Eagerness is
+    also what guarantees the sampled range boundaries (and so
+    ``spark_partition_id``) are evaluated exactly once."""
     spark = signatures.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
     parts = (
         signatures.select("clip_id")
         .repartitionByRange(n_parts, "clip_id")
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     counts = parts.groupBy("pid").agg(F.count("*").alias("n"))
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -88,7 +89,7 @@ def build_id_map(signatures: DataFrame, n_parts: "int | None" = None) -> DataFra
             "clip_id",
             (F.row_number().over(w_rn) - 1 + F.col("off")).cast("long").alias("cid"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
 

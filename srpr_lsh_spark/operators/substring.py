@@ -141,10 +141,14 @@ def containment_candidates(
 
     # (h, df) for every kept (non-hot) sketch hash; the lazy checkpoint makes
     # the kernel pass run once even though hot-cut and rarity both read it
+    # eager (r6): keep_df is broadcast by TWO joins whose builds run in
+    # parallel driver threads — a lazy checkpoint lets both race to compute
+    # the kernel pass twice (A/B at 200k: candidates stage 578 → 307 CPU-s
+    # cold with eager checkpoints throughout this subgraph)
     df_agg = (
         _shingle_df_counts(clips, cfg)
         .groupBy("h").agg(F.sum("cnt").alias("df_"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     keep_df = (
         sketch.select("h").distinct()
@@ -152,14 +156,15 @@ def containment_candidates(
     )
     # map-side keep-filter at the kernel boundary: only informative index
     # rows (h in some sketch AND not hot) survive — 3.3M of 39M at 200k.
-    # Same broadcast frame on both joins (one exchange, reused); the lazy
-    # checkpoint keeps the transcript-scan kernel to ONE execution even
-    # though the filtered index feeds both long_arrs and the generation join.
+    # Eager checkpoint (r6): the filtered index feeds both long_arrs and the
+    # generation join, whose stages the scheduler runs CONCURRENTLY — lazy
+    # blocks let both recompute the transcript-scan kernel (same A/B as
+    # df_agg above)
     index = (
         _shingle_index(clips, cfg)
         .join(F.broadcast(keep_df), "h")
         .select("clip_id", "h")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sketch = sketch.join(F.broadcast(keep_df), "h")  # brings df_ for rarity
 

@@ -465,21 +465,19 @@ def verify_audio_pairs(
             )
         else:
             phase1 = _phase1_cosine_join(pairs, signatures, cfg)
-    # survivors are tiny (≈ true-dup count); materialize once — the phase-2/3
-    # semi-join shrinks reference this frame four times, and uncheckpointed
-    # each reference would re-run the full candidate scan+filter. LAZY when
-    # nothing needs the frame materialized before this function returns (the
-    # default files-mode lookup has a no-op release): the blocks then compute
-    # inside the caller's one stage action, overlapping with the other verify
-    # branches instead of running as serial driver-blocking jobs here (r6;
-    # measured 15.2→2.4 s isolated at 200k together with the one-scan
-    # phase 3 below). Broadcast mode still materializes eagerly so release()
-    # can destroy the payload immediately.
+    # survivors are tiny (≈ true-dup count); materialize once EAGERLY — the
+    # phase-2 shrink semi-joins and the phase-3 broadcast builds reference
+    # this frame from CONCURRENT driver threads (BroadcastExchange builds run
+    # in parallel), and a LAZY checkpoint lets those threads race to compute
+    # the same partitions simultaneously: the bonus-window lazy variant
+    # measured 548 CPU-s cold for the isolated audio ladder at 200k vs
+    # 256 CPU-s eager (A/B, one session — the duplicated phase-1 work is
+    # exactly the cache race). Eager costs serial driver wall between phases
+    # but each phase computes once, which is also what a real cluster's
+    # coordinator should pay (r6; reverts the bonus-window eager=False).
+    cos_pass = phase1.localCheckpoint(eager=True)
     if release is not None:
-        cos_pass = phase1.localCheckpoint(eager=True)
         release()  # checkpoint is eager: the broadcast payload is dead weight now
-    else:
-        cos_pass = phase1.localCheckpoint(eager=False)
 
     # phase 2: decimated-PCM sketch SNR on the cosine survivors only — kills
     # "fingerprint twins" (different clips whose spectra coincide) without
@@ -500,7 +498,9 @@ def verify_audio_pairs(
                 ["a", "b", "source", "cosine"]
             ]
 
-    survivors = withs.mapInPandas(sketch_filter, schema=PRE_SCHEMA).localCheckpoint(eager=False)
+    # eager for the same race reason as cos_pass: referenced by the phase-3
+    # ids-union broadcast build AND the spread scan, from parallel threads
+    survivors = withs.mapInPandas(sketch_filter, schema=PRE_SCHEMA).localCheckpoint(eager=True)
 
     # phase 3: authoritative decoded-PCM SNR; bytes join only for survivors
     # (spread again: the survivor frame is small in bytes but each row costs
@@ -512,10 +512,14 @@ def verify_audio_pairs(
     ids = survivors.select(
         F.explode(F.array("a", "b")).alias("clip_id")
     ).distinct()
+    # eager: the two per-side attaches each build their own broadcast of this
+    # frame in parallel driver threads — lazy blocks would make both threads
+    # scan the clips parquet concurrently, re-paying the second full scan the
+    # one-scan design exists to remove
     blobs = (
         clips.select("clip_id", "bytes", "codec")
         .join(ids, "clip_id", "left_semi")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     withb = _attach(_spread(survivors), blobs, {"bytes": "ba", "codec": "ca"}, "a",
                     shrink=False)
