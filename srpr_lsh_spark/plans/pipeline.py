@@ -186,11 +186,22 @@ def _run_dedup(
 
     def build_candidates() -> DataFrame:
         # both LSH spaces in ONE bucket-join pass (row-identical to the
-        # per-space union, pytest-pinned; halves the stage's shuffle count)
-        lsh = combined_candidates(sigs, cfg)
-        sub = containment_candidates(clips, sigs, cfg).select(
-            F.col("short").alias("a"), F.col("long").alias("b"), F.lit("substr").alias("source")
-        )
+        # per-space union, pytest-pinned; halves the stage's shuffle count).
+        # The two subgraphs' eager prologues (id-map build jobs / containment
+        # kernel checkpoints + gate count) are independent — build them from
+        # TWO driver threads so their jobs overlap and backfill each other's
+        # stage tails (guide §2.6) instead of running as a serial prologue
+        # chain. Same frames, same union, same rows.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_lsh = pool.submit(combined_candidates, sigs, cfg)
+            f_sub = pool.submit(containment_candidates, clips, sigs, cfg)
+            lsh = f_lsh.result()
+            sub = f_sub.result().select(
+                F.col("short").alias("a"), F.col("long").alias("b"),
+                F.lit("substr").alias("source"),
+            )
         return lsh.unionByName(sub)
 
     cands, sk = wh.stage("candidates", build_candidates)
@@ -210,23 +221,42 @@ def _run_dedup(
     n_cands = _m_cand.get("rows") if _m_cand else None
 
     def build_verified() -> DataFrame:
-        exact = _pad(exact_content_edges(sigs))
-        text = _pad(
-            verify_text_pairs(
-                cands.filter(F.col("source") == SOURCE_MINHASH), clips, cfg,
-                n_candidates=n_cands, n_rows=n_sigs,
+        # the four branches are independent until the union; the audio
+        # ladder's eager phase checkpoints and the text lookup's
+        # collect+ship are serial driver prologues, so build the branches
+        # from a small thread pool (guide §2.6): each thread's jobs backfill
+        # cores freed by the others' stage tails. Frames and rows unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def mk_text():
+            return _pad(
+                verify_text_pairs(
+                    cands.filter(F.col("source") == SOURCE_MINHASH), clips, cfg,
+                    n_candidates=n_cands, n_rows=n_sigs,
+                )
             )
-        )
-        audio = _pad(
-            verify_audio_pairs(
-                cands.filter(F.col("source") == SOURCE_SIMHASH), clips, sigs, cfg,
-                stats=audio_stats, n_candidates=n_cands, n_signatures=n_sigs,
+
+        def mk_audio():
+            return _pad(
+                verify_audio_pairs(
+                    cands.filter(F.col("source") == SOURCE_SIMHASH), clips, sigs,
+                    cfg, stats=audio_stats, n_candidates=n_cands,
+                    n_signatures=n_sigs,
+                )
             )
-        )
-        sub_cand = cands.filter(F.col("source") == "substr").select(
-            F.col("a").alias("short"), F.col("b").alias("long")
-        )
-        substr = _pad(verify_containment(sub_cand, clips, cfg))
+
+        def mk_substr():
+            sub_cand = cands.filter(F.col("source") == "substr").select(
+                F.col("a").alias("short"), F.col("b").alias("long")
+            )
+            return _pad(verify_containment(sub_cand, clips, cfg))
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_text = pool.submit(mk_text)
+            f_audio = pool.submit(mk_audio)
+            f_sub = pool.submit(mk_substr)
+            exact = _pad(exact_content_edges(sigs))
+            text, audio, substr = f_text.result(), f_audio.result(), f_sub.result()
         return exact.unionByName(text).unionByName(audio).unionByName(substr)
 
     verified, sk = wh.stage("verified_pairs", build_verified)
