@@ -51,28 +51,33 @@ def _with_srp_keys(
     )
 
 
-def cosine_expr(a: str, b: str):
-    """JVM-side cosine similarity of two float array columns (double math)."""
-    dot = F.aggregate(
+def norm_expr(col):
+    """JVM-side L2 norm of a float array column (double math) — the fold
+    half of ``cosine_expr``, exposed so pair-scoring plans can hoist each
+    side's norm into a per-VECTOR projection instead of re-folding it per
+    pair (r6, guide §1.2): same expression on the same input ⇒ bit-identical
+    cosine, ~3× less higher-order-function work per scored pair."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def dot_expr(a: str, b: str):
+    """JVM-side double-precision dot of two float array columns."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    n1 = F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    n2 = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    return dot / (n1 * n2)
+
+
+def cosine_expr(a: str, b: str):
+    """JVM-side cosine similarity of two float array columns (double math)."""
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
 def lsh_candidates(
@@ -128,15 +133,22 @@ def rerank_topk(
     reference's usage) — for all-vs-all workloads use the dedup pipeline's
     banded self-join instead; broadcasting an unbounded query side would not
     survive scale."""
+    # per-vector norms hoisted into each side's projection (r6): the scored
+    # frame then folds only the dot per pair — bit-identical cosine
     qv = queries.select(
         F.col(query_id_col or id_col).alias("query_id"),
         F.col(query_vec_col or vec_col).alias("qv"),
-    )
-    cv = vectors.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    ).withColumn("nq", norm_expr("qv"))
+    cv = vectors.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+    ).withColumn("nc", norm_expr("cv"))
     scored = (
         cands.join(F.broadcast(qv), "query_id")
         .join(cv, "cand_id")
-        .select("query_id", "cand_id", cosine_expr("qv", "cv").alias("cosine"))
+        .select(
+            "query_id", "cand_id",
+            (dot_expr("qv", "cv") / (F.col("nq") * F.col("nc"))).alias("cosine"),
+        )
     )
     # rank on the UNROUNDED score with id-desc tie-break — identical to the
     # brute-force oracle's order (main.cpp:36), so LSH-vs-oracle comparisons
@@ -164,13 +176,17 @@ def brute_topk(
 
     The query side is broadcast — bounded query sets only (serving / eval),
     same boundary as ``rerank_topk``."""
+    # norms hoisted per side, as in rerank_topk (r6) — bit-identical cosine
     qv = queries.select(
         F.col(query_id_col or id_col).alias("query_id"),
         F.col(query_vec_col or vec_col).alias("qv"),
-    )
-    cv = vectors.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    ).withColumn("nq", norm_expr("qv"))
+    cv = vectors.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+    ).withColumn("nc", norm_expr("cv"))
     scored = cv.crossJoin(F.broadcast(qv)).select(
-        "query_id", "cand_id", cosine_expr("qv", "cv").alias("cosine")
+        "query_id", "cand_id",
+        (dot_expr("qv", "cv") / (F.col("nq") * F.col("nc"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id").desc()

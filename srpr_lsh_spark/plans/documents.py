@@ -117,18 +117,26 @@ def ann_eval_embeddings(
         nrecall_at_k,
         retrieval_metrics,
     )
-    from srpr_lsh_spark.operators.ann import cosine_expr
+    from srpr_lsh_spark.operators.ann import dot_expr, norm_expr
     from pyspark.sql import Window
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < n_queries)
     # oracle: brute-force cosine top-k with total-order tie-break (main.cpp:36)
-    qv = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-    cv = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("cv"))
+    # — per-vector norms hoisted out of the cross join (r6, bit-identical)
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    ).withColumn("nq", norm_expr("qv"))
+    cv = emb.select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("cv")
+    ).withColumn("nc", norm_expr("cv"))
     sims = (
         qv.crossJoin(cv)
         .filter(F.col("query_id") != F.col("item_id"))
-        .select("query_id", "item_id", cosine_expr("qv", "cv").alias("cos"))
+        .select(
+            "query_id", "item_id",
+            (dot_expr("qv", "cv") / (F.col("nq") * F.col("nc"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("item_id").desc())
     truth = (

@@ -15,7 +15,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from srpr_lsh_spark.functions.metrics import average_metrics, retrieval_metrics
-from srpr_lsh_spark.operators.ann import cosine_expr, lsh_topk
+from srpr_lsh_spark.operators.ann import dot_expr, lsh_topk, norm_expr
 
 
 def sweep_bits(
@@ -41,12 +41,20 @@ def sweep_bits(
     queries = emb.filter(F.col("vec_id") < n_queries).cache()
 
     # brute-force oracle once per k (reference: main.cpp:29-44; tie-break :36)
-    qv = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-    cv = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("cv"))
+    # per-vector norms hoisted out of the cross join (r6, bit-identical)
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    ).withColumn("nq", norm_expr("qv"))
+    cv = emb.select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("cv")
+    ).withColumn("nc", norm_expr("cv"))
     sims = (
         qv.crossJoin(cv)
         .filter(F.col("query_id") != F.col("item_id"))
-        .select("query_id", "item_id", cosine_expr("qv", "cv").alias("cos"))
+        .select(
+            "query_id", "item_id",
+            (dot_expr("qv", "cv") / (F.col("nq") * F.col("nc"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("item_id").desc())
     ranked_oracle = sims.withColumn("rnk", F.row_number().over(w)).cache()

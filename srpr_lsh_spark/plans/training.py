@@ -49,19 +49,24 @@ def embedding_triplets(
     (main.cpp:122-166 is the reference's version of this experiment).
 
     Bounded regardless of sf: ``n_users`` × ``n_items`` rows pre-pair-join."""
-    from srpr_lsh_spark.operators.ann import cosine_expr
+    from srpr_lsh_spark.operators.ann import dot_expr, norm_expr
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # per-vector norms hoisted out of the cross join (r6, bit-identical)
     users = emb.filter(F.col("vec_id") < n_users).select(
         F.col("vec_id").alias("user_id"), F.col("embedding").alias("ue")
-    )
+    ).withColumn("nu", norm_expr("ue"))
     items = emb.filter(
         (F.col("vec_id") >= n_users) & (F.col("vec_id") < n_users + n_items)
-    ).select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("ie"))
+    ).select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("ie")
+    ).withColumn("ni", norm_expr("ie"))
     ratings = (
         F.broadcast(users)
         .crossJoin(items)
-        .select("user_id", "item_id", cosine_expr("ue", "ie").alias("rating"))
+        .select(
+            "user_id", "item_id",
+            (dot_expr("ue", "ie") / (F.col("nu") * F.col("ni"))).alias("rating"),
+        )
     )
     return generate_triplets(
         ratings, min_rating_diff=margin, max_per_user=cap,
