@@ -140,14 +140,30 @@ def explode_bands(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     return mh.unionByName(sh)
 
 
-def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """bands → candidate_pairs(a, b, source) with a < b, distinct.
+def _source_of_band() -> "F.Column":
+    """``source`` is fully determined by the band id (MinHash bands occupy
+    [0, SRP_BAND_OFFSET); SRP tables sit above it — the band-id layout
+    invariant ``DedupConfig.__post_init__`` asserts), so band rows don't
+    need to CARRY the string: deriving it at pair-emit time drops ~40% of
+    every band row's bytes through the sizes/collect_list shuffles and
+    halves the per-member struct in the bucket arrays (r6, guide §2.3
+    "shuffle fewer bytes"). All rows of one bucket share ``band_id``, so
+    this is exactly the former "pair keeps a's source" value."""
+    return F.when(
+        F.col("band_id") < F.lit(SRP_BAND_OFFSET), F.lit(SOURCE_MINHASH)
+    ).otherwise(F.lit(SOURCE_SIMHASH))
 
-    Two-regime plan keyed by bucket size (see module docstring). Id-type
-    agnostic: works identically on string clip_ids (tests, explode_bands
-    callers) and the int64-encoded pipeline path.
+
+def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """bands(clip_id, band_id, band_hash) → candidate_pairs(a, b, source)
+    with a < b, distinct; ``source`` derived from the band-id layout
+    (``_source_of_band``) — an attached source column, if present, is
+    ignored. Two-regime plan keyed by bucket size (see module docstring).
+    Id-type agnostic: works identically on string clip_ids (tests,
+    explode_bands callers) and the int64-encoded pipeline path.
     """
     key = ["band_id", "band_hash"]
+    bands = bands.select("clip_id", *key)
     sizes = bands.groupBy(*key).agg(F.count("*").alias("bsz")).filter(F.col("bsz") >= 2)
     tagged = bands.join(sizes, key)  # buckets of size 1 drop out here
 
@@ -157,27 +173,22 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     # capped buckets: ONE groupBy into a sorted member array (bounded by the
     # cap), then emit every a < b combination in codegen — the former
     # two-sided self-join shuffled both projections and sorted each for an
-    # SMJ; this shuffles the member rows once (guide §2.4). The pair (a, b)
-    # keeps a's source, exactly like the a-side of the old join did.
+    # SMJ; this shuffles the member rows once (guide §2.4).
     grouped = small.groupBy(*key).agg(
-        F.sort_array(F.collect_list(F.struct("clip_id", "source"))).alias("ms")
+        F.sort_array(F.collect_list("clip_id")).alias("ms")
     )
     combos = F.flatten(
         F.transform(
             F.col("ms"),
             lambda x, i: F.transform(
                 F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
-                lambda y: F.struct(
-                    x["clip_id"].alias("a"),
-                    y["clip_id"].alias("b"),
-                    x["source"].alias("source"),
-                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
             ),
         )
     )
     small_pairs = (
-        grouped.select(F.explode(combos).alias("p"))
-        .select("p.a", "p.b", "p.source")
+        grouped.select(_source_of_band().alias("source"), F.explode(combos).alias("p"))
+        .select("p.a", "p.b", "source")
         .filter(F.col("a") < F.col("b"))
     )
 
@@ -187,7 +198,7 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     reps = big.groupBy(*key).agg(
         F.min("clip_id").alias("lo"), F.max("clip_id").alias("hi")
     )
-    joined = big.join(reps, key)
+    joined = big.join(reps, key).withColumn("source", _source_of_band())
     lo_pairs = joined.filter(F.col("clip_id") != F.col("lo")).select(
         F.col("lo").alias("a"), F.col("clip_id").alias("b"), "source"
     )
@@ -261,7 +272,10 @@ def _space_parts(signatures: DataFrame, cfg: DedupConfig, source: str):
     rep_rows = eligible.join(
         reps.select(F.col("rep").alias("clip_id")), "clip_id", "left_semi"
     )
-    bands = explode_cols(rep_rows).withColumn("source", F.lit(source))
+    # band rows carry NO source string: candidate_pairs derives it from the
+    # band-id layout (_source_of_band), so the sizes/collect_list shuffles
+    # move (id, band_id, hash) only
+    bands = explode_cols(rep_rows)
     return within, bands
 
 
