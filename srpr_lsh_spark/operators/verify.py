@@ -17,6 +17,8 @@ so audio bytes move only for rows that still matter.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -175,10 +177,6 @@ def verify_text_pairs(
     if n_rows > cfg.text_collect_max_rows:
         return _verify_text_join(pairs, clips, cfg)
 
-    import os
-
-    from pyspark import SparkFiles
-
     from srpr_lsh_spark.kernels.text import (
         load_shingle_lookup_mmap,
         pair_jaccards,
@@ -200,8 +198,7 @@ def verify_text_pairs(
             pass
     _PREV_TXT_SOURCES.clear()
     prefix, paths = save_shingle_lookup(ids, flat, offsets, out_dir=out_dir)
-    for p in paths:
-        sc.addFile(p)
+    token = _ship_lookup(sc, paths)
     _PREV_TXT_SOURCES.extend(paths)
     if not out_dir:
         import atexit
@@ -212,7 +209,7 @@ def verify_text_pairs(
     thr = cfg.jaccard_threshold
 
     def gen(batches):
-        lk = load_shingle_lookup_mmap(prefix, SparkFiles.get)
+        lk = load_shingle_lookup_mmap(prefix, _lookup_resolver(token))
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -248,6 +245,38 @@ def _collect_fp_matrix(signatures: DataFrame, dim: int) -> "tuple[np.ndarray, np
 # source .npy files of the previous dedup run's file-shipped fp lookup —
 # deleted when the next run ships its lookup (single-slot policy; ADVICE r5)
 _PREV_FP_SOURCES: "list[str]" = []
+
+
+def _ship_lookup(sc, paths: "list[str]"):
+    """Make saved lookup ``.npy`` files reachable from workers. Returns a
+    picklable ``(mode, dir)`` token for ``_lookup_resolver``.
+
+    On LOCAL masters (``local[N]`` and ``local-cluster[...]``) workers run on
+    the driver's host, so they open the SOURCE paths directly — no
+    ``addFile`` registration at all. This is not just an optimization:
+    registering a file while OTHER driver threads have jobs running races
+    Spark's driver-side userFiles copy against a concurrently-launched
+    task's ``updateDependencies`` fetch of the same target (local mode
+    shares one userFiles dir between the two), which intermittently fails
+    tasks with "<file> exists and does not match contents" — reproduced at
+    local[8]/200k with the r6 thread-parallel verified build. On real
+    cluster masters executors fetch into per-executor dirs under
+    ``updateDependenciesLock``, so ``addFile`` stays the transport there."""
+    if (sc.master or "").startswith("local"):
+        return ("dir", os.path.dirname(paths[0]))
+    for p in paths:
+        sc.addFile(p)
+    return ("spark_files", None)
+
+
+def _lookup_resolver(token):
+    """Worker-side: basename → local path, from a ``_ship_lookup`` token."""
+    mode, d = token
+    if mode == "dir":
+        return lambda b: os.path.join(d, b)
+    from pyspark import SparkFiles
+
+    return SparkFiles.get
 
 PRE_SCHEMA = StructType(
     [
@@ -304,18 +333,17 @@ def _phase1_cosine_broadcast(
     sc = pairs.sparkSession.sparkContext
     ids, fps = _collect_fp_matrix(signatures, cfg.fingerprint_dim)
     if cfg.fp_ship_files:
-        from pyspark import SparkFiles
-
-        # The addFile SOURCE must outlive its run: every executor validates
-        # registered files against their source on first fetch (deleting the
-        # source fails the fetch with "does not match contents"). PySpark's
+        # The lookup SOURCE must outlive its run: workers open it directly on
+        # local masters, and executors validate registered files against
+        # their source on first fetch on cluster masters (deleting the source
+        # fails the fetch with "does not match contents"). PySpark's
         # per-session temp dir is shutdown-cleaned, so parking sources there
         # bounds the leak to session lifetime; on top of that, each new run
         # deletes the PREVIOUS run's source files (single-slot policy,
         # matching _MMAP_CACHE) so a long-lived serving session holds at most
         # one lookup's .npy files (~up to 0.9 GB at the collect ceiling)
         # instead of one per dedup run (r5 ADVICE #1). Old files already
-        # fetched by workers are never re-fetched — no task references the
+        # opened by workers are never re-read — no task references the
         # old prefix once the new lookup exists. The mkdtemp fallback (no
         # session temp dir) is registered for atexit cleanup.
         root = getattr(sc, "_temp_dir", None)
@@ -329,8 +357,7 @@ def _phase1_cosine_broadcast(
                 pass
         _PREV_FP_SOURCES.clear()
         prefix, paths = save_fp_lookup(ids, fps, out_dir=out_dir)
-        for p in paths:
-            sc.addFile(p)
+        token = _ship_lookup(sc, paths)
         _PREV_FP_SOURCES.extend(paths)
         if not out_dir:
             import atexit
@@ -341,7 +368,7 @@ def _phase1_cosine_broadcast(
             )
 
         def get_lookup():
-            return load_fp_lookup_mmap(prefix, SparkFiles.get)
+            return load_fp_lookup_mmap(prefix, _lookup_resolver(token))
 
         def release():
             return None
